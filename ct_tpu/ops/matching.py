@@ -1,0 +1,108 @@
+"""Batched GT↔prior matching with fixed-shape padded targets.
+
+TPU-native replacement for the reference's per-image Python matching loop
+(``/root/reference/layers/modules/multibox_loss_combined.py:70-74`` calling
+``/root/reference/utils/box_utils.py:83-132``): the whole batch is matched in
+one vmapped, fully vectorized pass with static shapes.
+
+Target convention (host side pads ragged annotations to ``MAX_OBJS``):
+  boxes   [M, 4]  float32, point form, percent coords
+  labels  [M]     int32  — 1..C real classes, -1 = ignore (instance-shot
+                  masking, ``/root/reference/data/voc0712.py:237-239``),
+                  value for padded rows is irrelevant
+  weights [M]     float32 — mixup weights (1.0 when mixup is off)
+  valid   [M]     bool   — False for padding rows
+
+Matching semantics replicated exactly:
+  * per-prior best gt by IoU; per-gt best prior is *forced* to that gt with
+    overlap 2 (later gts win prior conflicts, matching the reference's
+    sequential overwrite at ``box_utils.py:122-123``);
+  * priors below the IoU threshold become background (label 0, weight 1);
+  * ``obj_t = label != 0`` — note ignored (-1) anchors count as objects.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ct_tpu.ops import boxes as box_ops
+
+
+class MatchResult(NamedTuple):
+    loc_t: jnp.ndarray   # [..., P, 4] encoded regression targets
+    cls_t: jnp.ndarray   # [..., P] int32 class label (0 = background)
+    w_t: jnp.ndarray     # [..., P] float32 per-anchor loss weight
+    obj_t: jnp.ndarray   # [..., P] bool objectness target
+
+
+def match_single(
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_weights: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    priors_cs: jnp.ndarray,
+    priors_pt: jnp.ndarray,
+    threshold: float = 0.5,
+    variances=(0.1, 0.2),
+) -> MatchResult:
+    """Match one image's padded ground truth against all priors.
+
+    ``priors_cs`` is center-size form (for encoding), ``priors_pt`` the same
+    priors in point form (for IoU) — precomputed once outside jit.
+    """
+    num_priors = priors_cs.shape[0]
+    num_objs = gt_boxes.shape[0]
+
+    overlaps = box_ops.iou(gt_boxes, priors_pt)               # [M, P]
+    overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
+
+    # best gt per prior
+    best_truth_overlap = jnp.max(overlaps, axis=0)            # [P]
+    best_truth_idx = jnp.argmax(overlaps, axis=0)             # [P]
+
+    # force each gt's best prior to that gt (last gt wins conflicts)
+    best_prior_idx = jnp.argmax(overlaps, axis=1)             # [M]
+    claims = (
+        best_prior_idx[:, None] == jnp.arange(num_priors)[None, :]
+    ) & gt_valid[:, None]                                      # [M, P]
+    obj_ids = jnp.arange(num_objs, dtype=jnp.int32)
+    claimed_by = jnp.max(
+        jnp.where(claims, obj_ids[:, None], -1), axis=0
+    )                                                          # [P]
+    forced = claimed_by >= 0
+    best_truth_idx = jnp.where(forced, claimed_by, best_truth_idx)
+    best_truth_overlap = jnp.where(forced, 2.0, best_truth_overlap)
+
+    matched = gt_boxes[best_truth_idx]                         # [P, 4]
+    cls_t = gt_labels[best_truth_idx].astype(jnp.int32)        # [P]
+    w_t = gt_weights[best_truth_idx]                           # [P]
+
+    below = best_truth_overlap < threshold
+    cls_t = jnp.where(below, 0, cls_t)
+    w_t = jnp.where(below, 1.0, w_t)
+
+    loc_t = box_ops.encode(matched, priors_cs, variances)
+    obj_t = cls_t != 0
+    return MatchResult(loc_t, cls_t, w_t, obj_t)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def match_batch(
+    gt_boxes: jnp.ndarray,      # [B, M, 4]
+    gt_labels: jnp.ndarray,     # [B, M]
+    gt_weights: jnp.ndarray,    # [B, M]
+    gt_valid: jnp.ndarray,      # [B, M]
+    priors_cs: jnp.ndarray,     # [P, 4]
+    threshold: float = 0.5,
+) -> MatchResult:
+    """Vmapped matching over the batch. Returns [B, P, ...] targets."""
+    priors_pt = box_ops.point_form(priors_cs)
+    return jax.vmap(
+        lambda b, l, w, v: match_single(
+            b, l, w, v, priors_cs, priors_pt, threshold
+        )
+    )(gt_boxes, gt_labels, gt_weights, gt_valid)
