@@ -1,0 +1,275 @@
+"""RFBNet-SSD detector with Context-Transformer few-shot head, NHWC/Flax.
+
+Behavioral parity target: ``RFBNet`` (/root/reference/models/
+RFB_Net_vgg.py:115-286) with its builders ``vgg`` (:323), ``add_extras``
+(:354) and ``multibox`` (:387). The architecture *plan* (layer/channel/
+dilation schedule) is shared between the model and the torch-checkpoint
+importer so the two can never drift.
+
+TPU-first design decisions:
+  * NHWC everywhere; head outputs reshape directly to [B, priors, C] with
+    anchors innermost — no permutes (reference permutes at :239-241);
+  * raw logits are returned for both train and eval; softmax/decoding live
+    in the post-processing stage (the reference branches inside forward,
+    :273-285);
+  * the Context-Transformer attention (queries = all anchors over the conf
+    logits, keys/values = max-pooled context anchors, :253-271) is a single
+    batched einsum chain here and a fused Pallas kernel on TPU
+    (ct_tpu.ops.ct_attention);
+  * ``conf_feat`` (pre-CT source-class logits) is always returned — it
+    feeds OBJ_Target initialization (reference ``init=True`` forward,
+    :250-251) without a second model variant.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ct_tpu.config import TaskSpec
+from ct_tpu.models.layers import BasicConv, BasicRFB, BasicRFBa, max_pool2d
+
+
+# --------------------------------------------------------------------------
+# Architecture plans (shared with the checkpoint importer).
+# --------------------------------------------------------------------------
+
+VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "C",
+           512, 512, 512, "M", 512, 512, 512)
+
+
+def vgg_plan() -> List[Tuple[str, int, Any]]:
+    """VGG16-reducedfc layer plan as (kind, torch_index, spec) tuples.
+
+    torch_index is the position in the reference's ``nn.ModuleList`` so the
+    importer can map ``base.{i}.weight`` keys mechanically.
+    """
+    plan: List[Tuple[str, int, Any]] = []
+    idx = 0
+    for v in VGG_CFG:
+        if v == "M":
+            plan.append(("pool", idx, dict(kernel=2, stride=2, ceil=False)))
+            idx += 1
+        elif v == "C":
+            plan.append(("pool", idx, dict(kernel=2, stride=2, ceil=True)))
+            idx += 1
+        else:
+            plan.append(("conv", idx, dict(out=v, kernel=3, pad=1, dil=1)))
+            idx += 2  # conv + relu
+    plan.append(("pool", idx, dict(kernel=3, stride=1, pad=1, ceil=False)))
+    idx += 1
+    plan.append(("conv", idx, dict(out=1024, kernel=3, pad=6, dil=6)))  # fc6
+    idx += 2
+    plan.append(("conv", idx, dict(out=1024, kernel=1, pad=0, dil=1)))  # fc7
+    return plan
+
+
+# conv4_3 relu boundary: reference applies base[0:23] before the Norm block
+VGG_CONV43_TORCH_IDX = 23
+
+
+def extras_plan(size: int) -> List[Tuple[str, Dict[str, int]]]:
+    """Extra feature layers: ('rfb'|'conv', spec). Matches add_extras."""
+    if size == 300:
+        return [
+            ("rfb", dict(out=1024, stride=1, visual=2)),
+            ("rfb", dict(out=512, stride=2, visual=2)),
+            ("rfb", dict(out=256, stride=2, visual=2)),
+            ("conv", dict(out=128, kernel=1, stride=1, pad=0)),
+            ("conv", dict(out=256, kernel=3, stride=1, pad=0)),
+            ("conv", dict(out=128, kernel=1, stride=1, pad=0)),
+            ("conv", dict(out=256, kernel=3, stride=1, pad=0)),
+        ]
+    if size == 512:
+        return [
+            ("rfb", dict(out=1024, stride=1, visual=2)),
+            ("rfb", dict(out=512, stride=2, visual=2)),
+            ("rfb", dict(out=256, stride=2, visual=2)),
+            ("rfb", dict(out=256, stride=2, visual=1)),
+            ("rfb", dict(out=256, stride=2, visual=1)),
+            ("conv", dict(out=128, kernel=1, stride=1, pad=0)),
+            ("conv", dict(out=256, kernel=4, stride=1, pad=1)),
+        ]
+    raise ValueError("Only RFBNet300 and RFBNet512 are supported.")
+
+
+def source_indices(size: int) -> List[int]:
+    """Which extras outputs feed detection heads (k < indicator or even)."""
+    indicator = 3 if size == 300 else 5
+    return [
+        k for k in range(len(extras_plan(size)))
+        if k < indicator or k % 2 == 0
+    ]
+
+
+def mbox(size: int) -> List[int]:
+    return [6, 6, 6, 6, 4, 4] if size == 300 else [6, 6, 6, 6, 6, 4, 4]
+
+
+# Context-Transformer key pooling (kernel == stride, ceil mode), one entry
+# per source map. 300 is the reference schedule (RFB_Net_vgg.py:235-236);
+# 512 extends it by one mid-level 2x entry (phase 2 @512 is unreachable in
+# the reference — the hardcoded 6-entry list would not cover 7 maps).
+CT_POOL = {300: (3, 2, 2, 2, 1, 1), 512: (3, 2, 2, 2, 2, 1, 1)}
+
+
+class Predictions(NamedTuple):
+    loc: jnp.ndarray        # [B, P, 4]  raw box regressions
+    conf: jnp.ndarray       # [B, P, C_out]  class logits (post-CT if any)
+    obj: jnp.ndarray        # [B, P, 2]  objectness logits
+    conf_feat: jnp.ndarray  # [B, P, C_src]  pre-CT source-class logits
+
+
+class RFBNet(nn.Module):
+    """The detector. Input NHWC float images (BGR, mean-subtracted)."""
+
+    task: TaskSpec
+    size: int = 300
+    dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 on TPU)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Predictions:
+        d = dict(dtype=self.dtype)
+        task = self.task
+        src_c = task.src_cls_dim
+
+        sources = []
+        plan = vgg_plan()
+        for kind, idx, spec in plan:
+            if idx == VGG_CONV43_TORCH_IDX:
+                sources.append(
+                    BasicRFBa(512, 512, stride=1, scale=1.0, name="Norm", **d)(
+                        x, train
+                    )
+                )
+            if kind == "conv":
+                x = nn.Conv(
+                    spec["out"], (spec["kernel"],) * 2,
+                    padding=[(spec["pad"],) * 2] * 2,
+                    kernel_dilation=(spec["dil"],) * 2,
+                    use_bias=True, name=f"vgg_{idx}", **d,
+                )(x)
+                x = nn.relu(x)
+            else:
+                x = max_pool2d(
+                    x, spec["kernel"], spec["stride"],
+                    padding=spec.get("pad", 0), ceil_mode=spec["ceil"],
+                )
+
+        src_idx = set(source_indices(self.size))
+        for k, (kind, spec) in enumerate(extras_plan(self.size)):
+            if kind == "rfb":
+                x = BasicRFB(
+                    x.shape[-1], spec["out"], stride=spec["stride"],
+                    scale=1.0, visual=spec["visual"], name=f"extras_{k}", **d,
+                )(x, train)
+            else:
+                x = BasicConv(
+                    spec["out"], spec["kernel"], stride=spec["stride"],
+                    padding=spec["pad"], name=f"extras_{k}", **d,
+                )(x, train)
+            if k in src_idx:
+                sources.append(x)
+
+        # multibox heads — NHWC conv outputs flatten straight to [B, P, C]
+        loc, conf, obj, conf_pool = [], [], [], []
+        ct_pool = CT_POOL[self.size]
+        b = x.shape[0]
+        for i, s in enumerate(sources):
+            a = mbox(self.size)[i]
+            head = lambda c, name: nn.Conv(
+                a * c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                name=name, **d,
+            )(s)
+            loc.append(head(4, f"loc_{i}").reshape(b, -1, 4))
+            cmap = head(src_c, f"conf_{i}")
+            conf.append(cmap.reshape(b, -1, src_c))
+            obj.append(head(2, f"obj_{i}").reshape(b, -1, 2))
+            if task.has_ct_head:
+                pooled = max_pool2d(cmap, ct_pool[i], ct_pool[i],
+                                    ceil_mode=True)
+                conf_pool.append(pooled.reshape(b, -1, src_c))
+
+        loc = jnp.concatenate(loc, axis=1)
+        conf_feat = jnp.concatenate(conf, axis=1)
+        obj = jnp.concatenate(obj, axis=1)
+
+        if task.has_ct_head:
+            keys = jnp.concatenate(conf_pool, axis=1)
+            conf_out = self._context_transformer(conf_feat, keys)
+        else:
+            conf_out = conf_feat
+
+        return Predictions(
+            loc.astype(jnp.float32),
+            conf_out.astype(jnp.float32),
+            obj.astype(jnp.float32),
+            conf_feat.astype(jnp.float32),
+        )
+
+    def _context_transformer(
+        self, conf: jnp.ndarray, keys: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Non-local attention over per-anchor source-class logits.
+
+        queries: all P anchors; keys/values: K pooled context anchors.
+        Residual linear projections, softmax affinity, Wz-gated delta,
+        cosine classifier against OBJ_Target at fixed scale 5.
+        """
+        task = self.task
+        c = task.src_cls_dim
+        dense = lambda name: nn.Dense(
+            c, use_bias=True, dtype=self.dtype, name=name,
+            kernel_init=nn.initializers.he_normal(),
+        )
+
+        q = dense("theta")(conf) + conf            # [B, P, C]
+        k = dense("phi")(keys) + keys              # [B, K, C]
+        v = dense("g")(keys) + keys                # [B, K, C]
+
+        wz = self.param("Wz", nn.initializers.zeros, (c,))
+        affinity = jnp.einsum(
+            "bpc,bkc->bpk", q, k, preferred_element_type=jnp.float32
+        )
+        attn = nn.softmax(affinity, axis=-1)
+        delta = jnp.einsum(
+            "bpk,bkc->bpc", attn, v, preferred_element_type=jnp.float32
+        ) * wz
+        novel = conf + delta
+        novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
+
+        n_novel = (
+            task.num_classes - 1 if task.setting == "transfer"
+            else task.num_classes - 1 - task.src_cls_dim
+        )
+        obj_target = self.param(
+            "OBJ_Target",
+            nn.initializers.normal(0.02),
+            (n_novel, c),
+        )  # rows are class prototypes, like the torch Linear weight
+        novel = jnp.einsum(
+            "bpc,nc->bpn", novel, obj_target,
+            preferred_element_type=jnp.float32,
+        ) * 5.0
+
+        if task.setting == "incre":
+            base = nn.Dense(
+                c, use_bias=True, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="fc_base",
+            )(conf) + conf
+            return jnp.concatenate([base, novel], axis=-1)
+        return novel
+
+
+def build_net(task: TaskSpec, size: int = 300,
+              dtype: Optional[jnp.dtype] = None) -> RFBNet:
+    if size not in (300, 512):
+        raise ValueError("Only RFBNet300 and RFBNet512 are supported.")
+    return RFBNet(task=task, size=size, dtype=dtype)
+
+
+def eval_scores(preds: Predictions) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmaxed (conf, obj) as produced by the reference eval branch."""
+    return nn.softmax(preds.conf, axis=-1), nn.softmax(preds.obj, axis=-1)
