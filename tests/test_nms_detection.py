@@ -1,0 +1,146 @@
+"""NMS + detection post-processing parity vs the reference eval flow."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import has_reference, import_reference
+from ct_tpu.ops import boxes as B
+from ct_tpu.ops.detection import fuse_scores, postprocess
+from ct_tpu.ops.nms import batched_nms, nms_mask, nms_numpy
+
+
+def random_dets(rng, n, spread=100.0):
+    mins = rng.uniform(0, 200, size=(n, 2))
+    sizes = rng.uniform(10, spread, size=(n, 2))
+    boxes = np.concatenate([mins, mins + sizes], axis=1)
+    scores = rng.uniform(0, 1, size=(n, 1))
+    return np.concatenate([boxes, scores], axis=1).astype(np.float32)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_numpy_oracle_matches_reference_py_cpu_nms():
+    import_reference()
+    from utils.nms.py_cpu_nms import py_cpu_nms
+
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        dets = random_dets(rng, 100)
+        assert nms_numpy(dets, 0.45) == py_cpu_nms(dets, 0.45)
+
+
+def test_device_nms_matches_numpy_oracle():
+    rng = np.random.RandomState(1)
+    for trial in range(5):
+        dets = random_dets(rng, 64)
+        order = np.argsort(-dets[:, 4])
+        sorted_boxes = dets[order, :4]
+        keep = np.asarray(
+            nms_mask(
+                jnp.asarray(sorted_boxes),
+                jnp.ones(64, bool),
+                iou_threshold=0.45,
+                pixel_offset=1.0,
+            )
+        )
+        kept_original_idx = sorted(order[keep].tolist())
+        assert kept_original_idx == sorted(nms_numpy(dets, 0.45))
+
+
+def reference_eval_flow(boxes_np, scores_np, thresh=0.01, max_per_image=200):
+    """The reference per-image flow: per-class thresh → NMS → cap
+    (test.py:142-161) with the numpy NMS oracle."""
+    num_classes = scores_np.shape[1]
+    out = {}
+    for j in range(1, num_classes):
+        inds = np.where(scores_np[:, j] > thresh)[0]
+        if len(inds) == 0:
+            out[j] = np.zeros((0, 5), np.float32)
+            continue
+        c_dets = np.hstack(
+            [boxes_np[inds], scores_np[inds, j, None]]
+        ).astype(np.float32)
+        keep = nms_numpy(c_dets, 0.45)
+        out[j] = c_dets[keep]
+    all_scores = np.hstack([out[j][:, -1] for j in range(1, num_classes)])
+    if len(all_scores) > max_per_image:
+        image_thresh = np.sort(all_scores)[-max_per_image]
+        for j in out:
+            out[j] = out[j][out[j][:, -1] >= image_thresh]
+    return out
+
+
+def test_batched_nms_matches_reference_flow():
+    rng = np.random.RandomState(2)
+    p, c = 400, 6  # 5 foreground classes
+    boxes = random_dets(rng, p)[:, :4]
+    # peaky scores so some classes exceed the threshold meaningfully
+    raw = rng.uniform(0, 1, size=(p, c)).astype(np.float32) ** 4
+    ref = reference_eval_flow(boxes, raw, max_per_image=50)
+
+    dets = batched_nms(
+        jnp.asarray(boxes)[None],
+        jnp.asarray(raw)[None],
+        top_k=p,           # no candidate truncation → exact parity
+        max_per_image=50,
+        pixel_offset=1.0,
+    )
+    got = {}
+    for j in range(1, c):
+        m = np.asarray(dets.valid[0]) & (np.asarray(dets.classes[0]) == j)
+        rows = np.hstack(
+            [np.asarray(dets.boxes[0])[m], np.asarray(dets.scores[0])[m, None]]
+        )
+        got[j] = rows[np.argsort(-rows[:, -1])]
+
+    for j in range(1, c):
+        ref_j = ref[j][np.argsort(-ref[j][:, -1])]
+        np.testing.assert_allclose(got[j], ref_j, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"class {j}")
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_fuse_scores_matches_reference_detect():
+    import torch
+
+    import_reference()
+    from layers.functions.detection import Detect
+
+    rng = np.random.RandomState(3)
+    b, p, c = 2, 50, 15
+    loc = rng.randn(b, p, 4).astype(np.float32) * 0.3
+    conf = rng.uniform(size=(b, p, c)).astype(np.float32)
+    obj = rng.uniform(size=(b, p, 2)).astype(np.float32)
+    priors = np.abs(rng.randn(p, 4)).astype(np.float32) * 0.2 + 0.2
+
+    det = Detect(c + 1, 0, {"variance": [0.1, 0.2]})
+    ref_boxes, ref_scores = det.forward(
+        (torch.from_numpy(loc), torch.from_numpy(conf), torch.from_numpy(obj)),
+        torch.from_numpy(priors),
+    )
+
+    ours_boxes = B.decode(jnp.asarray(loc), jnp.asarray(priors))
+    ours_scores = fuse_scores(jnp.asarray(conf), jnp.asarray(obj))
+    np.testing.assert_allclose(np.asarray(ours_boxes), ref_boxes.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours_scores), ref_scores.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_postprocess_end_to_end_shapes():
+    rng = np.random.RandomState(4)
+    b, p, c = 2, 100, 5
+    priors = np.abs(rng.rand(p, 4)).astype(np.float32) * 0.3 + 0.1
+    dets = postprocess(
+        jnp.asarray(rng.randn(b, p, 4), dtype=jnp.float32) * 0.2,
+        jnp.asarray(rng.uniform(size=(b, p, c)), dtype=jnp.float32),
+        jnp.asarray(rng.uniform(size=(b, p, 2)), dtype=jnp.float32),
+        jnp.asarray(priors),
+        image_sizes=jnp.asarray([[480, 640], [300, 300]]),
+        top_k=50, max_per_image=20,
+    )
+    assert dets.boxes.shape == (b, (c) * 50, 4)  # (C+1-1) classes × top_k
+    assert int(dets.valid.sum(axis=1).max()) <= 20 + 5  # cap (+ score ties)
+    # valid detections are score-sorted
+    s0 = np.asarray(dets.scores[0][np.asarray(dets.valid[0])])
+    assert (np.diff(s0) <= 1e-6).all()
