@@ -1,0 +1,171 @@
+"""Threaded host data pipeline producing fixed-shape padded batches.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` worker processes +
+ragged ``detection_collate`` (/root/reference/train.py:192-199,
+/root/reference/data/voc0712.py:429-451) with a thread-pool pipeline (the
+heavy lifting — JPEG decode, cv2 resize — releases the GIL) that emits
+dict batches of numpy arrays ready for ``jax.device_put``:
+
+  image [B,S,S,3] f32 NHWC · boxes [B,M,4] · labels [B,M] · weights [B,M]
+  · valid [B,M]
+
+Double-buffered: the next batch is assembled while the device runs the
+current step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from ct_tpu.data.targets import pad_targets
+from ct_tpu.train.sampler import TrainingSampler
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_workers: int = 4,
+        max_objs: int = 100,
+        seed: Optional[int] = None,
+        prefetch: int = 2,
+        shuffle: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.max_objs = max_objs
+        self.seed = seed
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+        self._generation = 0
+        self._start()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _start(self):
+        self._stop = threading.Event()
+        self._index_q: queue.Queue = queue.Queue(
+            maxsize=self.batch_size * (self.prefetch + 1)
+        )
+        self._sample_q: queue.Queue = queue.Queue(
+            maxsize=self.batch_size * (self.prefetch + 1)
+        )
+        self._batch_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        self._threads = []
+
+        t = threading.Thread(target=self._feed_indices, daemon=True)
+        t.start()
+        self._threads.append(t)
+        for _ in range(self.num_workers):
+            t = threading.Thread(target=self._work, daemon=True)
+            t.start()
+            self._threads.append(t)
+        t = threading.Thread(target=self._assemble, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def restart(self):
+        """Tear down and rebuild workers (e.g. after toggling mixup)."""
+        self.stop()
+        self._generation += 1
+        self._start()
+
+    def stop(self):
+        self._stop.set()
+        for q in (self._index_q, self._sample_q, self._batch_q):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+    # -- pipeline stages ---------------------------------------------------
+
+    def _feed_indices(self):
+        sampler = TrainingSampler(
+            len(self.dataset), shuffle=self.shuffle,
+            seed=None if self.seed is None
+            else self.seed + self._generation,
+        )
+        seq = 0
+        for idx in sampler:
+            if self._stop.is_set():
+                return
+            while not self._stop.is_set():
+                try:
+                    self._index_q.put((seq, idx), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            seq += 1
+
+    def _work(self):
+        while not self._stop.is_set():
+            try:
+                seq, idx = self._index_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            sample = self.dataset[idx]
+            while not self._stop.is_set():
+                try:
+                    self._sample_q.put((seq, sample), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def _assemble(self):
+        pending: Dict[int, tuple] = {}
+        next_seq = 0
+        buf = []
+        while not self._stop.is_set():
+            try:
+                seq, sample = self._sample_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            pending[seq] = sample
+            # emit strictly in sequence order → deterministic batches
+            while next_seq in pending:
+                buf.append(pending.pop(next_seq))
+                next_seq += 1
+                if len(buf) == self.batch_size:
+                    batch = self._collate(buf)
+                    buf = []
+                    while not self._stop.is_set():
+                        try:
+                            self._batch_q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        images = np.stack([s[0] for s in samples]).astype(np.float32)
+        padded = pad_targets([s[1] for s in samples], self.max_objs)
+        return {
+            "image": images,
+            "boxes": padded.boxes,
+            "labels": padded.labels,
+            "weights": padded.weights,
+            "valid": padded.valid,
+        }
+
+    # -- consumption -------------------------------------------------------
+
+    def next(self) -> Dict[str, np.ndarray]:
+        while True:
+            try:
+                return self._batch_q.get(timeout=5.0)
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise RuntimeError("Loader is stopped")
+
+    def __iter__(self):
+        while True:
+            yield self.next()

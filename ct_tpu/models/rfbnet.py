@@ -128,6 +128,7 @@ class RFBNet(nn.Module):
     task: TaskSpec
     size: int = 300
     dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 on TPU)
+    use_pallas_ct: bool = False         # fused Pallas CT attention (TPU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Predictions:
@@ -230,14 +231,14 @@ class RFBNet(nn.Module):
         v = dense("g")(keys) + keys                # [B, K, C]
 
         wz = self.param("Wz", nn.initializers.zeros, (c,))
-        affinity = jnp.einsum(
-            "bpc,bkc->bpk", q, k, preferred_element_type=jnp.float32
+        from ct_tpu.ops.ct_attention import (
+            ct_attention, ct_attention_reference,
         )
-        attn = nn.softmax(affinity, axis=-1)
-        delta = jnp.einsum(
-            "bpk,bkc->bpc", attn, v, preferred_element_type=jnp.float32
-        ) * wz
-        novel = conf + delta
+
+        if self.use_pallas_ct:
+            novel = ct_attention(q, k, v, conf, wz)
+        else:
+            novel = ct_attention_reference(q, k, v, conf, wz)
         novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
 
         n_novel = (

@@ -1,0 +1,111 @@
+"""Fused Context-Transformer attention: Pallas TPU kernel + XLA reference.
+
+The Context-Transformer head computes, per image,
+
+    out = base + softmax(q @ kᵀ) @ v · wz          (then cosine classifier)
+
+with q = θ(conf)+conf over ALL P anchors (11,620 @300) and k/v over the K
+max-pooled context anchors (1,858 @300), channel dim C = 60 source classes
+(reference: /root/reference/models/RFB_Net_vgg.py:259-265, which
+materializes the [B, P, K] affinity tensor — ~86 MB/image in fp32).
+
+The Pallas kernel streams query blocks through VMEM while keys/values stay
+resident (K·C ≈ 0.45 MB), fusing QKᵀ → softmax → ·V → ·wz + base into one
+pass so the affinity matrix never touches HBM. K is small and fully
+resident, so a plain row softmax suffices (no online/flash rescaling).
+
+Training uses ``jax.custom_vjp`` with the XLA reference implementation as
+the recompute backward — forward-path speed is what the serving benchmark
+needs; the backward stays numerically identical to the reference math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def ct_attention_reference(
+    q: jnp.ndarray,     # [B, P, C]
+    k: jnp.ndarray,     # [B, K, C]
+    v: jnp.ndarray,     # [B, K, C]
+    base: jnp.ndarray,  # [B, P, C]
+    wz: jnp.ndarray,    # [C]
+) -> jnp.ndarray:
+    """Plain-XLA reference (also the recompute backward path)."""
+    s = jnp.einsum("bpc,bkc->bpk", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(s, axis=-1)
+    delta = jnp.einsum(
+        "bpk,bkc->bpc", attn, v, preferred_element_type=jnp.float32
+    )
+    return base + delta * wz
+
+
+def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
+    # blocks: q/base/out [1, bq, C]; k/v [1, K, C]; wz [1, C]
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [bq, K]
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - s_max)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    delta = jnp.dot(attn, v, preferred_element_type=jnp.float32)  # [bq, C]
+    out_ref[0] = (
+        base_ref[0].astype(jnp.float32) + delta * wz_ref[0, :]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ct_attention(q, k, v, base, wz, block_q: int = 1024,
+                 interpret: bool = False):
+    """Fused attention; differentiable (backward recomputes via XLA)."""
+    b, p, c = q.shape
+    kk = k.shape[1]
+    qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        grid=(b, pl.cdiv(p, block_q)),
+        in_specs=[
+            qspec, kvspec, kvspec, qspec,
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, p, c), base.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * p * kk * c,
+            bytes_accessed=4 * b * (3 * p * c + 2 * kk * c),
+            transcendentals=b * p * kk,
+        ),
+        interpret=interpret,
+    )(q, k, v, base, wz[None, :])
+
+
+def _fwd(q, k, v, base, wz, block_q, interpret):
+    return ct_attention(q, k, v, base, wz, block_q, interpret), (q, k, v, wz)
+
+
+def _bwd(block_q, interpret, residuals, g):
+    q, k, v, wz = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, base_, wz_: ct_attention_reference(
+            q_, k_, v_, base_, wz_
+        ),
+        q, k, v, jnp.zeros_like(g), wz,
+    )
+    return vjp(g)
+
+
+ct_attention.defvjp(_fwd, _bwd)

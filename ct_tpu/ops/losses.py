@@ -20,7 +20,7 @@ reference (they are neither positives nor ranked as negatives).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,13 +43,19 @@ def _ce_from_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return lse - picked
 
 
-def multibox_loss(
+def multibox_loss_sums(
     loc_p: jnp.ndarray,    # [B, P, 4]
     conf_p: jnp.ndarray,   # [B, P, C]   source-class logits (no background)
     obj_p: jnp.ndarray,    # [B, P, 2]   objectness logits
     targets: MatchResult,  # matched targets from ops.matching
     neg_pos_ratio: int = 3,
-) -> Dict[str, jnp.ndarray]:
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Unnormalized loss sums plus the positive-count normalizer N.
+
+    Exposed separately so a data-parallel caller can ``psum`` both across
+    shards before dividing (the reference normalizes by the *global* batch's
+    N, multibox_loss_combined.py:119-122).
+    """
     loc_t, cls_t, w_t, obj_t = targets
     num_priors = loc_p.shape[1]
 
@@ -86,9 +92,29 @@ def multibox_loss(
     ce_cls = _ce_from_logits(logits, safe_cls)
     loss_c = jnp.sum(ce_cls * w_t * maskf)
 
-    n = jnp.maximum(jnp.sum(num_pos), 1.0)
-    return {
-        "loss_box_reg": loss_l / n,
-        "loss_cls": loss_c / n,
-        "loss_obj": loss_obj / n,
+    sums = {
+        "loss_box_reg": loss_l,
+        "loss_cls": loss_c,
+        "loss_obj": loss_obj,
     }
+    return sums, jnp.sum(num_pos)
+
+
+def multibox_loss(
+    loc_p: jnp.ndarray,
+    conf_p: jnp.ndarray,
+    obj_p: jnp.ndarray,
+    targets: MatchResult,
+    neg_pos_ratio: int = 3,
+    axis_name: str | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """N-normalized multibox loss dict. With ``axis_name`` (inside
+    shard_map/pmap) the sums and N are psummed over the data axis first, so
+    every shard sees the global-batch loss."""
+    sums, n = multibox_loss_sums(loc_p, conf_p, obj_p, targets,
+                                 neg_pos_ratio)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    n = jnp.maximum(n, 1.0)
+    return {k: v / n for k, v in sums.items()}

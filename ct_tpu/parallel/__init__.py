@@ -1,0 +1,3 @@
+from ct_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate,
+)

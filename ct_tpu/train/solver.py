@@ -1,0 +1,97 @@
+"""Optimizer + LR schedule: SGD w/ momentum, per-group LRs, warmup multistep.
+
+Behavioral parity targets: ``build_optimizer`` (/root/reference/utils/
+solver.py:6-33) — phase-2 'ours' runs the VGG trunk at 0.1× LR and the
+extras/Norm blocks at 0.5× — and ``WarmupMultiStepLR`` (:49-111) — linear
+warmup from factor 1e-6 over ``warmup_iters`` then ×gamma at each milestone.
+
+Torch-SGD semantics are preserved exactly: weight decay is added to the
+gradient, momentum accumulates the decayed gradient, and the (per-group)
+learning rate scales the velocity at application time — expressed here as an
+optax chain ``add_decayed_weights → trace → per-leaf multiplier →
+scale_by_schedule(-lr)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ct_tpu.config import TaskSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    lr: float = 4e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    gamma: float = 0.1
+    steps: Sequence[int] = (120000, 150000)
+    warmup_iters: int = 5000
+    warmup_factor: float = 1e-6
+
+
+def warmup_multistep_schedule(cfg: SolverConfig) -> optax.Schedule:
+    milestones = jnp.asarray(sorted(cfg.steps))
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        alpha = jnp.clip(count / cfg.warmup_iters, max=1.0)
+        warm = jnp.where(
+            count >= cfg.warmup_iters,
+            1.0,
+            cfg.warmup_factor * (1 - alpha) + alpha,
+        )
+        decays = jnp.sum(count >= milestones).astype(jnp.float32)
+        return cfg.lr * warm * cfg.gamma ** decays
+
+    return schedule
+
+
+def lr_multipliers(params: Any, task: TaskSpec) -> Any:
+    """Per-leaf LR multiplier pytree (reference solver.py:16-20)."""
+
+    def mult_for(path) -> float:
+        if not (task.phase == 2 and task.method == "ours"):
+            return 1.0
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top.startswith("vgg_"):
+            return 0.1
+        if top.startswith("extras_") or top == "Norm":
+            return 0.5
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: mult_for(path), params
+    )
+
+
+def _scale_by_tree(multipliers: Any) -> optax.GradientTransformation:
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return (
+            jax.tree_util.tree_map(
+                lambda u, m: u * m, updates, multipliers
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(
+    params: Any, task: TaskSpec, cfg: SolverConfig = SolverConfig()
+) -> optax.GradientTransformation:
+    schedule = warmup_multistep_schedule(cfg)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        _scale_by_tree(lr_multipliers(params, task)),
+        optax.scale_by_schedule(lambda c: -schedule(c)),
+    )

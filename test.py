@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Evaluation CLI — flag-compatible with the reference ``test.py``.
+
+Capability parity target: /root/reference/test.py — the same flag surface
+(:16-43), phase/setting/method dispatch (:54-84), per-class threshold + NMS
++ top-200/image post-processing (:142-161), ``detections.pkl`` caching with
+``--retest`` (:114-119, 171-172), and dataset mAP evaluation (:175) — with
+the TPU-native difference that inference is *batched* end-to-end on device
+(forward → decode → fused scores → NMS in one jitted program) instead of
+the reference's one-image-per-forward Python loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Context-Transformer (TPU)")
+    parser.add_argument("-s", "--size", default="300",
+                        help="300 or 512 input size.")
+    parser.add_argument("--load-file", default=None,
+                        help="Model checkpoint for loading.")
+    parser.add_argument("-d", "--dataset", default="VOC",
+                        help="VOC or COCO version.")
+    parser.add_argument("--split", type=int, default=1,
+                        help="VOC base/novel split, for VOC only.")
+    parser.add_argument("--setting", default="transfer",
+                        help="Testing setting: transfer or incre.")
+    parser.add_argument("-p", "--phase", type=int, default=1,
+                        help="1: source pretraining, 2: target finetuning.")
+    parser.add_argument("--method", default="ours",
+                        help="ft(baseline) or ours, for phase 2 only.")
+    parser.add_argument("--retest", action="store_true",
+                        help="Re-evaluate cached detections.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Test the last checkpoint.")
+    parser.add_argument("--save-folder", default="weights/", type=str)
+    parser.add_argument("-b", "--batch-size", type=int, default=32,
+                        help="Inference batch size (device-batched NMS).")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (TPU)")
+    return parser.parse_args(argv)
+
+
+def run_inference(args, net, variables, dataset, task, priors, img_dim,
+                  logger):
+    """Batched inference over the dataset → reference-format all_boxes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ct_tpu.config import RGB_MEANS
+    from ct_tpu.data.augment import EvalTransform
+    from ct_tpu.train.step import make_eval_step
+    from ct_tpu.utils.timer import Timer
+
+    eval_step = make_eval_step(net, priors)
+    transform = EvalTransform(img_dim, RGB_MEANS)
+    num_images = len(dataset)
+    num_classes = task.num_classes
+    all_boxes = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+
+    timers = {"im_detect": Timer(), "misc": Timer()}
+    bs = args.batch_size
+    for lo in range(0, num_images, bs):
+        hi = min(lo + bs, num_images)
+        images, sizes = [], []
+        for i in range(lo, hi):
+            img = dataset.pull_image(i)
+            sizes.append([img.shape[0], img.shape[1]])
+            images.append(transform(img))
+        # keep the jitted program's batch static: pad the final batch
+        pad = bs - (hi - lo)
+        if pad:
+            images.extend([images[-1]] * pad)
+            sizes.extend([sizes[-1]] * pad)
+
+        timers["im_detect"].tic()
+        dets = eval_step(
+            variables["params"], variables["batch_stats"],
+            jnp.asarray(np.stack(images)), jnp.asarray(sizes),
+        )
+        dets = jax.device_get(dets)
+        detect_time = timers["im_detect"].toc(average=False)
+
+        timers["misc"].tic()
+        for bi, i in enumerate(range(lo, hi)):
+            valid = dets.valid[bi]
+            classes = dets.classes[bi][valid]
+            boxes = dets.boxes[bi][valid]
+            scores = dets.scores[bi][valid]
+            for j in range(1, num_classes):
+                m = classes == j
+                rows = np.hstack(
+                    [boxes[m], scores[m, None]]
+                ).astype(np.float32)
+                all_boxes[j][i] = rows
+        nms_time = timers["misc"].toc(average=False)
+
+        if (lo // bs) % 5 == 0:
+            logger.info(
+                "im_detect: %d/%d batch=%d %.3fs (device) %.3fs (host)",
+                hi, num_images, hi - lo, detect_time, nms_time,
+            )
+    return all_boxes
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ct_tpu.config import get_config, resolve_task
+    from ct_tpu.data.coco import COCODetection
+    from ct_tpu.data.voc import AnnotationTransform, VOCDetection
+    from ct_tpu.models import build_net
+    from ct_tpu.ops.priors import prior_boxes
+    from ct_tpu.train.checkpointer import Checkpointer
+    from ct_tpu.train.step import init_train_state
+    from ct_tpu.utils.logger import setup_logger
+
+    save_folder = os.path.join(args.save_folder, "inference")
+    os.makedirs(save_folder, exist_ok=True)
+    logger = setup_logger(save_folder)
+
+    img_dim = 512 if args.size == "512" else 300
+    task = resolve_task(args.phase, args.setting, args.method, args.dataset)
+    cfg = get_config(args.dataset, img_dim)
+    priors = prior_boxes(cfg)
+
+    if args.dataset == "VOC":
+        dataset = VOCDetection(
+            os.environ.get("VOC_ROOT", "data/VOCdevkit"),
+            [("2007", "test")], None,
+            AnnotationTransform(
+                0 if args.setting == "transfer" else args.split),
+            phase=args.phase, setting=args.setting, split=args.split,
+            test=True,
+        )
+    elif args.dataset == "COCO":
+        dataset = COCODetection(
+            os.environ.get("COCO_ROOT", "data/COCO"),
+            [("2014", "split_nonvoc_minival")], None,
+        )
+    else:
+        raise ValueError(f"Unknown dataset: {args.dataset}")
+
+    det_file = os.path.join(save_folder, "detections.pkl")
+    if args.retest:
+        with open(det_file, "rb") as f:
+            all_boxes = pickle.load(f)
+        logger.info("Evaluating cached detections")
+        return dataset.evaluate_detections(all_boxes, save_folder)
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    net = build_net(task, img_dim, dtype=dtype)
+    state = init_train_state(net, None, jax.random.PRNGKey(0), img_dim)
+    ck = Checkpointer(args.save_folder)
+    loaded = ck.resume_or_load(
+        args.load_file, state.params, state.batch_stats, resume=args.resume,
+        load_optimizer=False,
+    )
+    variables = {"params": loaded["params"],
+                 "batch_stats": loaded["batch_stats"]}
+
+    all_boxes = run_inference(
+        args, net, variables, dataset, task, priors, img_dim, logger
+    )
+    with open(det_file, "wb") as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    logger.info("Evaluating detections")
+    return dataset.evaluate_detections(all_boxes, save_folder)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Synthetic mini-VOC dataset generator for end-to-end tests.
+
+Builds a tiny VOCdevkit tree (JPEG images with colored rectangles + XML
+annotations + image-set lists incl. split/shot files) so the train/eval
+CLIs and dataset classes can run end-to-end without the real corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Tuple
+
+import cv2
+import numpy as np
+
+from ct_tpu.data.voc import VOC_CLASSES
+
+XML_TEMPLATE = """<annotation>
+  <folder>VOC2007</folder><filename>{name}.jpg</filename>
+  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+  {objects}
+</annotation>
+"""
+
+OBJ_TEMPLATE = """<object>
+    <name>{cls}</name><pose>Left</pose><truncated>0</truncated>
+    <difficult>{difficult}</difficult>
+    <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+  </object>"""
+
+
+def make_mini_voc_all(root: str, **kw) -> str:
+    """Both VOC2007 and VOC2012 mini trees (phase-1 uses 07+12 trainval)."""
+    make_mini_voc(root, year="2007", **kw)
+    return make_mini_voc(root, year="2012", seed=1, **kw)
+
+
+def make_mini_voc(
+    root: str,
+    year: str = "2007",
+    num_images: int = 8,
+    classes: Tuple[str, ...] = ("aeroplane", "bicycle", "bird", "car"),
+    seed: int = 0,
+) -> str:
+    """Create VOCdevkit/VOC{year} under ``root``; returns the devkit path."""
+    rng = np.random.RandomState(seed)
+    devkit = os.path.join(root, "VOCdevkit")
+    base = os.path.join(devkit, "VOC" + year)
+    for sub in ("JPEGImages", "Annotations",
+                os.path.join("ImageSets", "Main"),
+                os.path.join("ImageSets", "Main", "1_box")):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    ids: List[str] = []
+    by_class = {c: [] for c in VOC_CLASSES[0][1:]}
+    for i in range(num_images):
+        name = f"{i:06d}"
+        ids.append(name)
+        h, w = int(rng.randint(240, 480)), int(rng.randint(240, 480))
+        img = np.full((h, w, 3), 128, np.uint8)
+        objects = []
+        for _ in range(int(rng.randint(1, 4))):
+            cls = classes[int(rng.randint(len(classes)))]
+            x1 = int(rng.randint(1, w - 60))
+            y1 = int(rng.randint(1, h - 60))
+            x2 = x1 + int(rng.randint(40, min(120, w - x1)))
+            y2 = y1 + int(rng.randint(40, min(120, h - y1)))
+            color = tuple(int(c) for c in rng.randint(0, 255, 3))
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+            objects.append(OBJ_TEMPLATE.format(
+                cls=cls, difficult=0, x1=x1, y1=y1, x2=x2, y2=y2))
+            if not by_class[cls] or by_class[cls][-1] != name:
+                by_class[cls].append(name)
+        cv2.imwrite(os.path.join(base, "JPEGImages", name + ".jpg"), img)
+        with open(os.path.join(base, "Annotations", name + ".xml"),
+                  "w") as f:
+            f.write(XML_TEMPLATE.format(name=name, w=w, h=h,
+                                        objects="\n  ".join(objects)))
+
+    main = os.path.join(base, "ImageSets", "Main")
+    listing = "\n".join(ids) + "\n"
+    for fname in ("trainval.txt", "test.txt", "trainval_split1.txt",
+                  "trainval_split2.txt", "trainval_split3.txt",
+                  "trainval_1shot.txt", "trainval_5shot.txt"):
+        with open(os.path.join(main, fname), "w") as f:
+            f.write(listing)
+    # per-class instance-shot lists: every class file exists (reuse images
+    # for classes we didn't draw — the loader only needs ids to resolve)
+    for cls in VOC_CLASSES[0][1:]:
+        shots = by_class[cls] or ids[:2]
+        with open(os.path.join(main, "1_box", cls + ".txt"), "w") as f:
+            f.write("\n".join(shots) + "\n")
+    return devkit

@@ -1,0 +1,52 @@
+"""Fused CT attention kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ct_tpu.ops.ct_attention import ct_attention, ct_attention_reference
+
+
+def make_inputs(rng, b=2, p=640, k=96, c=60):
+    q = rng.randn(b, p, c).astype(np.float32)
+    kk = rng.randn(b, k, c).astype(np.float32)
+    v = rng.randn(b, k, c).astype(np.float32)
+    base = rng.randn(b, p, c).astype(np.float32)
+    wz = rng.randn(c).astype(np.float32) * 0.1
+    return tuple(map(jnp.asarray, (q, kk, v, base, wz)))
+
+
+def test_kernel_matches_reference():
+    rng = np.random.RandomState(0)
+    q, k, v, base, wz = make_inputs(rng)
+    ref = ct_attention_reference(q, k, v, base, wz)
+    out = ct_attention(q, k, v, base, wz, 256, True)  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_partial_final_block():
+    """P not divisible by block_q: the last block's padding must not leak."""
+    rng = np.random.RandomState(1)
+    q, k, v, base, wz = make_inputs(rng, p=500)  # 500 = 256 + 244
+    ref = ct_attention_reference(q, k, v, base, wz)
+    out = ct_attention(q, k, v, base, wz, 256, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_matches_reference_grads():
+    rng = np.random.RandomState(2)
+    q, k, v, base, wz = make_inputs(rng, b=1, p=256, k=64)
+
+    def loss_kernel(q, k, v, base, wz):
+        return jnp.sum(ct_attention(q, k, v, base, wz, 128, True) ** 2)
+
+    def loss_ref(q, k, v, base, wz):
+        return jnp.sum(ct_attention_reference(q, k, v, base, wz) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

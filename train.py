@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Training CLI — flag-compatible with the reference ``train.py``.
+
+Capability parity target: /root/reference/train.py — the same argparse
+surface (:21-86), train-set selection (:93-103), phase/setting/method state
+machine (:105-131), OBJ_Target initialization (:252-286), mixup scheduling
+(:209-218), and checkpoint-period/resume semantics — driving the TPU-native
+stack: jitted SPMD train step over a device mesh instead of DataParallel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Context-Transformer (TPU)")
+    # Model and Dataset
+    parser.add_argument("-s", "--size", default="300",
+                        help="300 or 512 input size.")
+    parser.add_argument("--basenet", default="./weights/vgg16_reducedfc.pth",
+                        help="Pretrained base model")
+    parser.add_argument("-d", "--dataset", default="VOC",
+                        help="VOC or COCO dataset.")
+    parser.add_argument("--split", type=int, default=1,
+                        help="VOC base/novel split, for VOC only.")
+    # Training Parameters
+    parser.add_argument("--setting", default="transfer",
+                        help="Training setting: transfer or incre.")
+    parser.add_argument("-p", "--phase", type=int, default=1,
+                        help="1: source pretraining, 2: target finetuning.")
+    parser.add_argument("-m", "--method", default="ours",
+                        help="ft(baseline) or ours, for phase 2 only.")
+    parser.add_argument("--shot", type=int, default=5,
+                        help="Number of shots, for phase 2 only.")
+    parser.add_argument("--init-iter", type=int, default=50,
+                        help="Batches used for OBJ_Target initialization")
+    parser.add_argument("-max", "--max-iter", type=int, default=180000)
+    parser.add_argument("-b", "--batch-size", type=int, default=64)
+    parser.add_argument("--lr", "--learning-rate", type=float, default=4e-3)
+    parser.add_argument("--steps", type=int, nargs="+",
+                        default=[120000, 150000])
+    parser.add_argument("--warmup-iter", type=int, default=5000)
+    parser.add_argument("--ndev", type=int, default=0,
+                        help="Devices in the data-parallel mesh (0 = all)")
+    parser.add_argument("--num-workers", type=int, default=4,
+                        help="Host data-pipeline worker threads")
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight-decay", type=float, default=5e-4)
+    parser.add_argument("--gamma", type=float, default=0.1)
+    parser.add_argument("--load-file", default=None,
+                        help="Model checkpoint for loading.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the last checkpoint.")
+    parser.add_argument("-is", "--instance-shot", action="store_true",
+                        help="Use instance shots for the transfer setting.")
+    # Mixup
+    parser.add_argument("--mixup", action="store_true")
+    parser.add_argument("--no-mixup-iter", type=int, default=800,
+                        help="Disable mixup for the last iterations.")
+    # Output
+    parser.add_argument("--save-folder", default="./weights/")
+    parser.add_argument("--checkpoint-period", type=int, default=10000)
+    parser.add_argument("--max-objs", type=int, default=100,
+                        help="Static per-image annotation padding")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (TPU)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ct_tpu.config import (
+        RGB_MEANS, EXPAND_PROB, OVERLAP_THRESHOLD, get_config, resolve_task,
+    )
+    from ct_tpu.data.augment import TrainAugment
+    from ct_tpu.data.coco import COCODetection
+    from ct_tpu.data.loader import Loader
+    from ct_tpu.data.voc import AnnotationTransform, VOCDetection
+    from ct_tpu.models import build_net
+    from ct_tpu.ops.priors import prior_boxes
+    from ct_tpu.parallel import make_mesh, replicate, shard_batch
+    from ct_tpu.train.checkpointer import Checkpointer, PeriodicCheckpointer
+    from ct_tpu.train.events import (
+        CommonMetricPrinter, EventStorage, JSONWriter, TensorboardWriter,
+    )
+    from ct_tpu.train.reweight import init_reweight
+    from ct_tpu.train.solver import (
+        SolverConfig, build_optimizer, warmup_multistep_schedule,
+    )
+    from ct_tpu.train.step import (
+        TrainState, init_train_state, make_train_step,
+    )
+    from ct_tpu.utils.logger import setup_logger
+
+    os.makedirs(args.save_folder, exist_ok=True)
+    logger = setup_logger(args.save_folder)
+
+    img_dim = 512 if args.size == "512" else 300
+    task = resolve_task(args.phase, args.setting, args.method, args.dataset)
+    cfg = get_config(args.dataset, img_dim)
+    priors = prior_boxes(cfg)
+    solver_cfg = SolverConfig(
+        lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
+        gamma=args.gamma, steps=tuple(args.steps),
+        warmup_iters=args.warmup_iter,
+    )
+
+    # --- dataset selection (reference train.py:93-103) --------------------
+    if args.dataset == "VOC":
+        if args.phase == 2 and (args.setting == "incre" or args.instance_shot):
+            train_sets = [("2007", "trainval")]
+        else:
+            train_sets = [("2007", "trainval"), ("2012", "trainval")]
+        from ct_tpu.config import RGB_MEANS as means
+        dataset = VOCDetection(
+            os.environ.get("VOC_ROOT", "data/VOCdevkit"),
+            train_sets,
+            TrainAugment(img_dim, RGB_MEANS, EXPAND_PROB),
+            AnnotationTransform(0 if args.setting == "transfer" else args.split),
+            phase=args.phase, setting=args.setting, split=args.split,
+            shot=args.shot, instance_shot=args.instance_shot,
+        )
+    elif args.dataset == "COCO":
+        train_sets = [("2014", "split_nonvoc_train"),
+                      ("2014", "split_nonvoc_valminusminival")]
+        dataset = COCODetection(
+            os.environ.get("COCO_ROOT", "data/COCO"), train_sets,
+            TrainAugment(img_dim, RGB_MEANS, EXPAND_PROB),
+        )
+    else:
+        raise ValueError(f"Unknown dataset: {args.dataset}")
+
+    # --- model / mesh / optimizer ----------------------------------------
+    dtype = jnp.bfloat16 if args.bf16 else None
+    net = build_net(task, img_dim, dtype=dtype)
+    mesh = make_mesh(args.ndev or None)
+    logger.info("Mesh: %s", mesh)
+
+    state = init_train_state(net, None, jax.random.PRNGKey(0), img_dim)
+    tx = build_optimizer(state.params, task, solver_cfg)
+
+    ck = Checkpointer(args.save_folder)
+    load_path = args.basenet if args.phase == 1 else args.load_file
+    loaded = ck.resume_or_load(
+        load_path, state.params, state.batch_stats, resume=args.resume,
+        load_optimizer=args.phase == 1,
+    )
+    start_iter = loaded["iteration"] + 1
+    if loaded["opt_state"] is not None:
+        from flax import serialization
+
+        opt_state = serialization.from_state_dict(
+            tx.init(loaded["params"]), loaded["opt_state"]
+        )
+    else:
+        opt_state = tx.init(loaded["params"])
+    state = TrainState(loaded["params"], loaded["batch_stats"], opt_state,
+                       jnp.asarray(start_iter, jnp.int32))
+
+    step_fn = make_train_step(net, priors, task, tx,
+                              OVERLAP_THRESHOLD, mesh=mesh)
+    periodic = PeriodicCheckpointer(ck, args.checkpoint_period, args.max_iter)
+    schedule = warmup_multistep_schedule(solver_cfg)
+
+    loader = Loader(dataset, args.batch_size, num_workers=args.num_workers,
+                    max_objs=args.max_objs, seed=0)
+
+    # --- phase-2 'ours' extras: OBJ_Target init + mixup -------------------
+    if task.has_ct_head:
+        state = init_reweight(
+            args, net, state, loader, priors, task, logger=logger
+        )
+        if args.mixup:
+            dataset.set_mixup(np.random.beta, 1.5, 1.5)
+            loader.restart()
+        logger.info("Fine tuning on %d-shot task", args.shot)
+
+    writers = [CommonMetricPrinter(args.max_iter),
+               JSONWriter(os.path.join(args.save_folder, "metrics.json")),
+               TensorboardWriter(args.save_folder)]
+    logger.info("Starting training from iteration %d", start_iter)
+
+    state = replicate(mesh, state)
+    storage = EventStorage(start_iter)
+    for iteration in range(start_iter, args.max_iter):
+        storage.step()
+        if (
+            task.has_ct_head and args.mixup
+            and iteration == args.max_iter - args.no_mixup_iter
+        ):
+            dataset.set_mixup(None)
+            loader.restart()
+
+        batch = shard_batch(mesh, loader.next())
+        state, metrics = step_fn(state, batch)
+        storage.put_scalars(**{k: float(v) for k, v in metrics.items()})
+        storage.put_scalar("lr", float(schedule(iteration)),
+                           smoothing_hint=False)
+
+        if iteration - start_iter > 5 and (
+            iteration % 20 == 0 or iteration == args.max_iter - 1
+        ):
+            for w in writers:
+                w.write(storage)
+        periodic.step(
+            iteration,
+            params=jax.device_get(state.params),
+            batch_stats=jax.device_get(state.batch_stats),
+            opt_state=jax.device_get(state.opt_state),
+        )
+    loader.stop()
+
+
+if __name__ == "__main__":
+    main()
