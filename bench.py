@@ -44,7 +44,7 @@ def main():
     log("devices:", devices)
     platform = devices[0].platform
 
-    batch = 64
+    batch = 128
     task = resolve_task(2, "transfer", "ours", "VOC")
     # bfloat16 conv/activation compute on TPU; box decode stays fp32;
     # fused Pallas CT attention (2.3x the XLA path on v5e)
@@ -58,7 +58,7 @@ def main():
     priors = prior_boxes(VOC_300)
 
     state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
-    eval_step = make_eval_step(net, priors)
+    eval_step = make_eval_step(net, priors, approx_top_k=on_tpu)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(

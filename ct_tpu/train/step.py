@@ -140,6 +140,7 @@ def make_eval_step(
     top_k: int = 200,
     max_per_image: int = 200,
     mesh: Optional[Mesh] = None,
+    approx_top_k: bool = False,
 ):
     """Compiled batched inference: forward → softmax → decode → NMS → cap.
 
@@ -160,6 +161,7 @@ def make_eval_step(
             iou_threshold=iou_threshold,
             top_k=top_k,
             max_per_image=max_per_image,
+            approx_top_k=approx_top_k,
         )
 
     if mesh is None:

@@ -69,6 +69,8 @@ def parse_args(argv=None):
                         help="Static per-image annotation padding")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (TPU)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a jax.profiler trace of steps 10-15")
     return parser.parse_args(argv)
 
 
@@ -190,10 +192,22 @@ def main(argv=None):
                TensorboardWriter(args.save_folder)]
     logger.info("Starting training from iteration %d", start_iter)
 
+    from ct_tpu.utils.profiler import StepTimer, trace
+
     state = replicate(mesh, state)
     storage = EventStorage(start_iter)
+    timer = StepTimer()
+    profiler_ctx = None
     for iteration in range(start_iter, args.max_iter):
         storage.step()
+        if args.profile_dir is not None:
+            if iteration == start_iter + 10:
+                profiler_ctx = trace(args.profile_dir)
+                profiler_ctx.__enter__()
+            elif iteration == start_iter + 15 and profiler_ctx is not None:
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
+                logger.info("Profiler trace written to %s", args.profile_dir)
         if (
             task.has_ct_head and args.mixup
             and iteration == args.max_iter - args.no_mixup_iter
@@ -206,6 +220,9 @@ def main(argv=None):
         storage.put_scalars(**{k: float(v) for k, v in metrics.items()})
         storage.put_scalar("lr", float(schedule(iteration)),
                            smoothing_hint=False)
+        dt = timer.tick()
+        if dt is not None:
+            storage.put_scalar("time", dt)
 
         if iteration - start_iter > 5 and (
             iteration % 20 == 0 or iteration == args.max_iter - 1
