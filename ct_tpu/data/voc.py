@@ -54,6 +54,40 @@ VOC_CLASSES = {
 }
 
 
+class VOCSegmentation:
+    """VOC segmentation pairs (image, label PNG) — capability parity with
+    the reference's (unused) ``VOCSegmentation``
+    (/root/reference/data/voc0712.py:62-112)."""
+
+    def __init__(self, root: str, image_set: str,
+                 transform: Optional[Callable] = None,
+                 target_transform: Optional[Callable] = None,
+                 dataset_name: str = "VOC2007"):
+        self.root = root
+        self.transform = transform
+        self.target_transform = target_transform
+        base = os.path.join(root, dataset_name)
+        self._annopath = os.path.join(base, "SegmentationClass", "%s.png")
+        self._imgpath = os.path.join(base, "JPEGImages", "%s.jpg")
+        setfile = os.path.join(base, "ImageSets", "Segmentation",
+                               image_set + ".txt")
+        with open(setfile) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, index: int):
+        img_id = self.ids[index]
+        img = cv2.imread(self._imgpath % img_id, cv2.IMREAD_COLOR)
+        target = cv2.imread(self._annopath % img_id, cv2.IMREAD_COLOR)
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
+
+
 class AnnotationTransform:
     """VOC XML annotation → [N, 5] array (pixel coords - 1, class index)."""
 

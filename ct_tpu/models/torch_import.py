@@ -136,10 +136,19 @@ def torch_state_to_variables(
 
 
 def load_pth(path: str, strict: bool = True) -> Dict[str, Any]:
-    """Load a reference .pth (model state_dict or full checkpoint dict)."""
-    import torch
+    """Load a reference .pth/.pkl (state_dict, full checkpoint, or a
+    Detectron-style latin1 pickle — checkpointer.py:225-244 semantics)."""
+    if path.endswith(".pkl"):
+        import pickle
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+        with open(path, "rb") as f:
+            obj = pickle.load(f, encoding="latin1")
+        if isinstance(obj, dict) and "blobs" in obj:
+            obj = obj["blobs"]  # Caffe2 detectron format
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model" in obj and not any(
         k.endswith("weight") for k in obj
     ):

@@ -76,6 +76,40 @@ def encode(
     return jnp.concatenate([g_cxcy, g_wh], axis=-1)
 
 
+def encode_multi(
+    matched: jnp.ndarray,
+    priors: jnp.ndarray,
+    offsets: jnp.ndarray,
+    variances: Sequence[float] = (0.1, 0.2),
+) -> jnp.ndarray:
+    """Offset-anchored encode variant (API parity with the reference's
+    unused ``encode_multi``, box_utils.py:159-181)."""
+    g_cxcy = (
+        (matched[..., :2] + matched[..., 2:]) / 2
+        - priors[..., :2] - offsets[..., :2]
+    ) / (variances[0] * offsets[..., 2:])
+    g_wh = (matched[..., 2:] - matched[..., :2]) / priors[..., 2:]
+    g_wh = jnp.log(g_wh) / variances[1]
+    return jnp.concatenate([g_cxcy, g_wh], axis=-1)
+
+
+def decode_multi(
+    loc: jnp.ndarray,
+    priors: jnp.ndarray,
+    offsets: jnp.ndarray,
+    variances: Sequence[float] = (0.1, 0.2),
+) -> jnp.ndarray:
+    """Offset-anchored decode variant (API parity with the reference's
+    unused ``decode_multi``, box_utils.py:204-222)."""
+    centers = (
+        priors[..., :2] + offsets[..., :2]
+        + loc[..., :2] * variances[0] * offsets[..., 2:]
+    )
+    sizes = priors[..., 2:] * jnp.exp(loc[..., 2:] * variances[1])
+    mins = centers - sizes / 2
+    return jnp.concatenate([mins, mins + sizes], axis=-1)
+
+
 def decode(
     loc: jnp.ndarray,
     priors: jnp.ndarray,

@@ -44,6 +44,9 @@ def parse_args(argv=None):
                         help="Inference batch size (device-batched NMS).")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (TPU)")
+    parser.add_argument("--host-nms", action="store_true",
+                        help="Run NMS on the host via the native C++ lib "
+                             "(parity with the reference --cpu path)")
     return parser.parse_args(argv)
 
 
@@ -57,6 +60,11 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
     from ct_tpu.data.augment import EvalTransform
     from ct_tpu.train.step import make_eval_step
     from ct_tpu.utils.timer import Timer
+
+    if args.host_nms:
+        return run_inference_host_nms(
+            args, net, variables, dataset, task, priors, img_dim, logger
+        )
 
     eval_step = make_eval_step(net, priors)
     transform = EvalTransform(img_dim, RGB_MEANS)
@@ -106,6 +114,78 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
                 "im_detect: %d/%d batch=%d %.3fs (device) %.3fs (host)",
                 hi, num_images, hi - lo, detect_time, nms_time,
             )
+    return all_boxes
+
+
+def run_inference_host_nms(args, net, variables, dataset, task, priors,
+                           img_dim, logger, max_per_image=200, thresh=0.01):
+    """Decode/fuse on device, per-class NMS on the host via the native C++
+    library — byte-level parity with the reference's CPU-NMS eval path
+    (test.py:142-161 with utils/nms_wrapper force_cpu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ct_tpu import native
+    from ct_tpu.config import RGB_MEANS
+    from ct_tpu.data.augment import EvalTransform
+    from ct_tpu.models.rfbnet import eval_scores
+    from ct_tpu.ops.detection import decode_and_fuse
+
+    @jax.jit
+    def decode_step(params, batch_stats, images):
+        preds = net.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=False,
+        )
+        conf, obj = eval_scores(preds)
+        return decode_and_fuse(preds.loc, conf, obj, priors)
+
+    transform = EvalTransform(img_dim, RGB_MEANS)
+    num_images = len(dataset)
+    num_classes = task.num_classes
+    all_boxes = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+
+    bs = args.batch_size
+    for lo in range(0, num_images, bs):
+        hi = min(lo + bs, num_images)
+        images, scales = [], []
+        for i in range(lo, hi):
+            img = dataset.pull_image(i)
+            scales.append([img.shape[1], img.shape[0]] * 2)
+            images.append(transform(img))
+        pad = bs - (hi - lo)
+        if pad:
+            images.extend([images[-1]] * pad)
+            scales.extend([scales[-1]] * pad)
+        boxes, scores = decode_step(
+            variables["params"], variables["batch_stats"],
+            jnp.asarray(np.stack(images)),
+        )
+        boxes = jax.device_get(boxes)
+        scores = jax.device_get(scores)
+        for bi, i in enumerate(range(lo, hi)):
+            bx = boxes[bi] * np.asarray(scales[bi], np.float32)
+            sc = scores[bi]
+            for j in range(1, num_classes):
+                inds = np.where(sc[:, j] > thresh)[0]
+                if len(inds) == 0:
+                    all_boxes[j][i] = np.empty((0, 5), np.float32)
+                    continue
+                c_dets = np.hstack(
+                    [bx[inds], sc[inds, j, None]]
+                ).astype(np.float32)
+                keep = native.cpu_nms(c_dets, 0.45)
+                all_boxes[j][i] = c_dets[keep]
+            image_scores = np.hstack(
+                [all_boxes[j][i][:, -1] for j in range(1, num_classes)]
+            )
+            if len(image_scores) > max_per_image:
+                image_thresh = np.sort(image_scores)[-max_per_image]
+                for j in range(1, num_classes):
+                    keep = all_boxes[j][i][:, -1] >= image_thresh
+                    all_boxes[j][i] = all_boxes[j][i][keep]
+        if (lo // bs) % 5 == 0:
+            logger.info("im_detect (host NMS): %d/%d", hi, num_images)
     return all_boxes
 
 

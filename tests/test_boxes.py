@@ -75,3 +75,15 @@ def test_parity_with_reference_box_utils():
         ref.decode(torch.from_numpy(loc), torch.from_numpy(priors_cs), var).numpy(),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_encode_decode_multi_roundtrip():
+    rng = np.random.RandomState(5)
+    gt = rand_boxes(32, rng)
+    priors_cs = np.asarray(B.center_size(jnp.asarray(rand_boxes(32, rng))))
+    offsets = np.abs(rng.randn(32, 4)).astype(np.float32) * 0.1 + 0.1
+    enc = B.encode_multi(jnp.asarray(gt), jnp.asarray(priors_cs),
+                         jnp.asarray(offsets))
+    dec = np.asarray(B.decode_multi(enc, jnp.asarray(priors_cs),
+                                    jnp.asarray(offsets)))
+    np.testing.assert_allclose(dec, gt, atol=1e-5)
