@@ -46,18 +46,20 @@ def ct_attention_reference(
 
 
 def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
-    # blocks: q/base/out [1, bq, C]; k/v [1, K, C]; wz [1, C]
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # blocks: q/base/out [1, bq, C]; k/v [1, K, C]; wz [1, C].
+    # matmul operands stay in their input dtype (bf16 on TPU → native MXU
+    # rate) with f32 accumulation; softmax statistics are f32.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                       # [bq, K]
+    )                                                       # [bq, K] f32
     s_max = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - s_max)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     delta = jnp.dot(attn, v, preferred_element_type=jnp.float32)  # [bq, C]
     out_ref[0] = (
         base_ref[0].astype(jnp.float32) + delta * wz_ref[0, :]
