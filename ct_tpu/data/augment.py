@@ -207,6 +207,25 @@ class TrainAugment:
         return img_out, np.hstack([boxes, labels[:, None]])
 
 
+class RawCanvasTransform:
+    """Host half of the on-device augmentation path: decode + resize to a
+    fixed square working canvas (pixels stay 0..255 BGR), boxes to percent.
+    The device half (``ct_tpu.data.augment_jax.augment_batch``) does all
+    randomized work batched on TPU."""
+
+    def __init__(self, canvas: int):
+        self.canvas = canvas
+
+    def __call__(self, image, targets):
+        h, w, _ = image.shape
+        out = cv2.resize(image, (self.canvas, self.canvas),
+                         interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        boxes = targets[:, :4].copy().astype(np.float64)
+        boxes[:, 0::2] /= w
+        boxes[:, 1::2] /= h
+        return out, np.hstack([boxes, targets[:, 4:5]])
+
+
 class EvalTransform:
     """Test-time path: resize + mean-subtract only (reference
     ``BaseTransform``), NHWC float32."""

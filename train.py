@@ -71,6 +71,12 @@ def parse_args(argv=None):
                         help="bfloat16 compute (TPU)")
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of steps 10-15")
+    parser.add_argument("--device-augment", action="store_true",
+                        help="Run SSD augmentation batched on device "
+                             "(host only decodes+resizes; no dataset-level "
+                             "mixup on this path)")
+    parser.add_argument("--canvas", type=int, default=384,
+                        help="Working-canvas size for --device-augment")
     return parser.parse_args(argv)
 
 
@@ -118,16 +124,28 @@ def main(argv=None):
     )
 
     # --- dataset selection (reference train.py:93-103) --------------------
+    if args.device_augment:
+        from ct_tpu.data.augment import RawCanvasTransform
+
+        preproc = RawCanvasTransform(args.canvas)
+        if args.mixup:
+            logger.warning(
+                "--device-augment does not support dataset-level mixup; "
+                "disabling mixup"
+            )
+            args.mixup = False
+    else:
+        preproc = TrainAugment(img_dim, RGB_MEANS, EXPAND_PROB)
+
     if args.dataset == "VOC":
         if args.phase == 2 and (args.setting == "incre" or args.instance_shot):
             train_sets = [("2007", "trainval")]
         else:
             train_sets = [("2007", "trainval"), ("2012", "trainval")]
-        from ct_tpu.config import RGB_MEANS as means
         dataset = VOCDetection(
             os.environ.get("VOC_ROOT", "data/VOCdevkit"),
             train_sets,
-            TrainAugment(img_dim, RGB_MEANS, EXPAND_PROB),
+            preproc,
             AnnotationTransform(0 if args.setting == "transfer" else args.split),
             phase=args.phase, setting=args.setting, split=args.split,
             shot=args.shot, instance_shot=args.instance_shot,
@@ -136,8 +154,7 @@ def main(argv=None):
         train_sets = [("2014", "split_nonvoc_train"),
                       ("2014", "split_nonvoc_valminusminival")]
         dataset = COCODetection(
-            os.environ.get("COCO_ROOT", "data/COCO"), train_sets,
-            TrainAugment(img_dim, RGB_MEANS, EXPAND_PROB),
+            os.environ.get("COCO_ROOT", "data/COCO"), train_sets, preproc,
         )
     else:
         raise ValueError(f"Unknown dataset: {args.dataset}")
@@ -215,7 +232,21 @@ def main(argv=None):
             dataset.set_mixup(None)
             loader.restart()
 
-        batch = shard_batch(mesh, loader.next())
+        batch = loader.next()
+        if args.device_augment:
+            from ct_tpu.data.augment_jax import augment_batch
+
+            weights = jax.numpy.asarray(batch["weights"])
+            aug = augment_batch(
+                jax.random.fold_in(jax.random.PRNGKey(1), iteration),
+                jax.numpy.asarray(batch["image"]),
+                jax.numpy.asarray(batch["boxes"]),
+                jax.numpy.asarray(batch["labels"]),
+                jax.numpy.asarray(batch["valid"]),
+                out_size=img_dim,
+            )
+            batch = dict(aug, weights=weights)
+        batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch)
         storage.put_scalars(**{k: float(v) for k, v in metrics.items()})
         storage.put_scalar("lr", float(schedule(iteration)),
