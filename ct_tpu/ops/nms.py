@@ -81,7 +81,7 @@ class Detections(NamedTuple):
     jax.jit,
     static_argnames=(
         "score_threshold", "iou_threshold", "top_k", "max_per_image",
-        "pixel_offset", "approx_top_k",
+        "pixel_offset", "approx_top_k", "use_pallas",
     ),
 )
 def batched_nms(
@@ -93,6 +93,7 @@ def batched_nms(
     max_per_image: int = 200,
     pixel_offset: float = 1.0,
     approx_top_k: bool = False,
+    use_pallas: bool = False,
 ) -> Detections:
     """Per-class NMS + per-image score cap, fully batched, static shapes.
 
@@ -107,31 +108,38 @@ def batched_nms(
     for parity runs.
     """
     num_classes = scores.shape[-1]
+    batch = boxes.shape[0]
 
-    def per_class(cls_scores, img_boxes):
-        # [P] scores, [P, 4] boxes → top-K candidates
+    def select(cls_scores, img_boxes):
+        # [P] scores, [P, 4] boxes → top-K candidates (sorted desc)
         s = jnp.where(cls_scores > score_threshold, cls_scores, -jnp.inf)
         if approx_top_k:
             top_s, top_i = jax.lax.approx_max_k(s, top_k,
                                                 recall_target=0.98)
         else:
             top_s, top_i = jax.lax.top_k(s, top_k)
-        cand_valid = jnp.isfinite(top_s)
-        cand_boxes = img_boxes[top_i]
-        keep = nms_mask(cand_boxes, cand_valid, iou_threshold, pixel_offset)
-        out_s = jnp.where(keep, top_s, -jnp.inf)
-        return cand_boxes, out_s
+        return img_boxes[top_i], top_s
 
-    def per_image(img_boxes, img_scores):
-        # vmap over foreground classes (skip background column 0)
-        fg = jnp.moveaxis(img_scores[:, 1:], -1, 0)          # [C-1, P]
-        cb, cs = jax.vmap(per_class, in_axes=(0, None))(fg, img_boxes)
-        c_ids = jnp.broadcast_to(
-            jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], cs.shape
-        )
-        flat_b = cb.reshape(-1, 4)
-        flat_s = cs.reshape(-1)
-        flat_c = c_ids.reshape(-1)
+    fg = jnp.moveaxis(scores[:, :, 1:], -1, 1)               # [B, C-1, P]
+    cb, cs = jax.vmap(jax.vmap(select, in_axes=(0, None)))(
+        fg, boxes
+    )                                        # [B, C-1, K, 4], [B, C-1, K]
+    cand_valid = jnp.isfinite(cs)
+
+    if use_pallas:
+        from ct_tpu.ops.nms_pallas import nms_pallas
+
+        keep = nms_pallas(
+            cb.reshape(-1, top_k, 4), cand_valid.reshape(-1, top_k),
+            iou_threshold, pixel_offset,
+        ).reshape(cs.shape).astype(bool)
+    else:
+        keep = jax.vmap(jax.vmap(
+            lambda b_, v_: nms_mask(b_, v_, iou_threshold, pixel_offset)
+        ))(cb, cand_valid)
+    cs = jnp.where(keep, cs, -jnp.inf)
+
+    def per_image(flat_b, flat_s, flat_c):
         # per-image cap: keep scores >= max_per_image-th largest
         cap = min(max_per_image, flat_s.shape[0])
         kth = jax.lax.top_k(flat_s, cap)[0][-1]
@@ -144,7 +152,14 @@ def batched_nms(
             jnp.isfinite(flat_s[order]),
         )
 
-    b, s, c, v = jax.vmap(per_image)(boxes, scores)
+    c_ids = jnp.broadcast_to(
+        jnp.arange(1, num_classes, dtype=jnp.int32)[None, :, None],
+        cs.shape,
+    )
+    b, s, c, v = jax.vmap(per_image)(
+        cb.reshape(batch, -1, 4), cs.reshape(batch, -1),
+        c_ids.reshape(batch, -1),
+    )
     return Detections(b, jnp.where(v, s, 0.0), jnp.where(v, c, 0), v)
 
 
