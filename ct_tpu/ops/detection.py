@@ -49,6 +49,7 @@ def postprocess(
     top_k: int = 200,
     max_per_image: int = 200,
     approx_top_k: bool = False,
+    use_pallas: bool = False,
 ) -> Detections:
     """Full eval-path post-processing for a batch, on device.
 
@@ -75,4 +76,5 @@ def postprocess(
         max_per_image=max_per_image,
         pixel_offset=pixel_offset,
         approx_top_k=approx_top_k,
+        use_pallas=use_pallas,
     )

@@ -9,6 +9,14 @@ K-step `fori_loop` — no host round trip, no bitmask materialization in HBM.
 
 This fuses what the XLA path (`ct_tpu.ops.nms.nms_mask` vmapped) expresses
 as separate ops; candidates must be score-sorted descending, as there.
+
+Status: produces detections identical to the XLA path on real v5e
+hardware, but is currently *slower* end-to-end (202 ms vs 124 ms per
+128-image batch): Mosaic does not lower ``dynamic_slice`` on values, so the
+greedy scan reads keep[i]/suppress[i] via masked lane reductions — O(K³)
+per cell instead of O(K²). The XLA formulation remains the production
+default (``batched_nms(use_pallas=False)``); this kernel is the capability
+demonstration and will win once per-row dynamic reads land in Mosaic.
 """
 
 from __future__ import annotations
@@ -24,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float,
                 pixel_offset: float):
     b = boxes_ref[0]                       # [K, 4] f32, score-sorted
-    valid = valid_ref[0]                   # [K] int32 (1 = candidate)
+    valid = valid_ref[0, 0]                # [K] int32 (1 = candidate)
     k = b.shape[0]
 
     x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
@@ -45,13 +53,21 @@ def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float,
         (iou > iou_threshold) & (col > row), 1, 0
     ).astype(jnp.int32)
 
+    # greedy scan without dynamic indexing (Mosaic lowers neither
+    # dynamic_slice on values nor 1-D iota): keep stays a [1, K] vector;
+    # step i reads keep[i] via a masked lane reduction and applies row i of
+    # the suppression matrix, selected the same way.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
     def body(i, keep):
-        keep_i = jax.lax.dynamic_slice(keep, (i,), (1,))[0]
-        sup_row = jax.lax.dynamic_slice(suppress, (i, 0), (1, k))[0]
+        keep_i = jnp.sum(jnp.where(lane == i, keep, 0))
+        sup_row = jnp.sum(
+            jnp.where(row == i, suppress, 0), axis=0, keepdims=True
+        )                                   # [1, K]
         return keep * (1 - sup_row * keep_i)
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
-    out_ref[0] = keep
+    keep = jax.lax.fori_loop(0, k, body, valid[None, :] * 1)
+    out_ref[0, 0] = keep[0]
 
 
 @functools.partial(
@@ -67,7 +83,9 @@ def nms_pallas(
 ) -> jnp.ndarray:
     """Batched greedy NMS → keep mask [N, K] (int32 0/1)."""
     n, k, _ = boxes.shape
-    return pl.pallas_call(
+    # masks carry a unit middle dim so every block dimension equals the
+    # corresponding array dimension (Mosaic block-shape constraint)
+    out = pl.pallas_call(
         functools.partial(
             _nms_kernel,
             iou_threshold=iou_threshold,
@@ -77,11 +95,12 @@ def nms_pallas(
         in_specs=[
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, k), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, 1, k), jnp.int32),
         interpret=interpret,
-    )(boxes, valid.astype(jnp.int32))
+    )(boxes, valid.astype(jnp.int32)[:, None, :])
+    return out[:, 0, :]

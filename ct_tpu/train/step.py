@@ -141,6 +141,7 @@ def make_eval_step(
     max_per_image: int = 200,
     mesh: Optional[Mesh] = None,
     approx_top_k: bool = False,
+    use_pallas_nms: bool = False,
 ):
     """Compiled batched inference: forward → softmax → decode → NMS → cap.
 
@@ -162,6 +163,7 @@ def make_eval_step(
             top_k=top_k,
             max_per_image=max_per_image,
             approx_top_k=approx_top_k,
+            use_pallas=use_pallas_nms,
         )
 
     if mesh is None:

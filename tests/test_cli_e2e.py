@@ -1,0 +1,88 @@
+"""End-to-end CLI runs on the synthetic mini-VOC (gated: slow compiles).
+
+These replicate the manual verification drives: train a few iterations,
+checkpoint, evaluate, re-evaluate from cache — for phase 1 and both phase-2
+protocols. Each costs minutes of XLA-CPU compile, so they are opt-in:
+
+    CT_TPU_SLOW_TESTS=1 python -m pytest tests/test_cli_e2e.py
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("CT_TPU_SLOW_TESTS"),
+    reason="slow CLI compiles; set CT_TPU_SLOW_TESTS=1",
+)
+
+COMMON = [
+    "-b", "2", "--ndev", "1", "--num-workers", "2", "--lr", "1e-4",
+    "--warmup-iter", "0", "--max-objs", "16",
+]
+
+
+@pytest.fixture()
+def devkit(tmp_path, monkeypatch):
+    from fixtures import make_mini_voc_all
+
+    dk = make_mini_voc_all(str(tmp_path))
+    monkeypatch.setenv("VOC_ROOT", dk)
+    return dk
+
+
+def test_phase1_train_eval_retest(devkit, tmp_path):
+    import train as train_cli
+    import test as test_cli
+
+    save = str(tmp_path / "w1")
+    train_cli.main(["-d", "VOC", "-p", "1", "--max-iter", "3",
+                    "--checkpoint-period", "2", "--save-folder", save]
+                   + COMMON)
+    files = os.listdir(save)
+    assert "model_final.ckpt" in files and "last_checkpoint" in files
+
+    res = test_cli.main(["-d", "VOC", "-p", "1",
+                         "--load-file", save + "/model_final.ckpt",
+                         "--save-folder", save, "-b", "4"])
+    assert "mAP" in res and len(res["APs"]) == 15
+    res2 = test_cli.main(["-d", "VOC", "-p", "1", "--retest",
+                          "--save-folder", save])
+    assert res2["mAP"] == res["mAP"]
+
+
+def test_phase2_transfer_instance_shot(devkit, tmp_path):
+    import train as train_cli
+    import test as test_cli
+
+    save = str(tmp_path / "w2")
+    train_cli.main(["-d", "VOC", "-p", "2", "--setting", "transfer",
+                    "-m", "ours", "--shot", "1", "-is", "--mixup",
+                    "--no-mixup-iter", "2", "--init-iter", "2",
+                    "--max-iter", "4", "--checkpoint-period", "10",
+                    "--save-folder", save] + COMMON)
+    res = test_cli.main(["-d", "VOC", "-p", "2", "--setting", "transfer",
+                         "--method", "ours",
+                         "--load-file", save + "/model_final.ckpt",
+                         "--save-folder", save, "-b", "4"])
+    assert len(res["APs"]) == 20
+
+
+def test_phase2_incre(devkit, tmp_path):
+    import train as train_cli
+    import test as test_cli
+
+    save = str(tmp_path / "w3")
+    train_cli.main(["-d", "VOC", "-p", "2", "--setting", "incre",
+                    "-m", "ours", "--split", "1", "--shot", "1",
+                    "--init-iter", "2", "--max-iter", "3",
+                    "--checkpoint-period", "10",
+                    "--save-folder", save] + COMMON)
+    res = test_cli.main(["-d", "VOC", "-p", "2", "--setting", "incre",
+                         "--method", "ours", "--split", "1",
+                         "--load-file", save + "/model_final.ckpt",
+                         "--save-folder", save, "-b", "4"])
+    assert "base_mAP" in res and "novel_mAP" in res
