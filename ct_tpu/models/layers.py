@@ -68,23 +68,25 @@ class BasicConv(nn.Module):
     bn: bool = True
     bias: bool = False
     dtype: Optional[jnp.dtype] = None
+    fold_bn: bool = False  # inference: BN pre-folded into conv weights
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kh, kw = _pair(self.kernel_size)
         ph, pw = _pair(self.padding)
+        use_bn = self.bn and not self.fold_bn
         x = nn.Conv(
             self.out_channels,
             (kh, kw),
             strides=_pair(self.stride),
             padding=((ph, ph), (pw, pw)),
             kernel_dilation=_pair(self.dilation),
-            use_bias=self.bias,
+            use_bias=self.bias or (self.bn and self.fold_bn),
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype,
             name="conv",
         )(x)
-        if self.bn:
+        if use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,
@@ -106,11 +108,12 @@ class BasicRFB(nn.Module):
     scale: float = 0.1
     visual: int = 1
     dtype: Optional[jnp.dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         inter = self.in_planes // 8
-        d = dict(dtype=self.dtype)
+        d = dict(dtype=self.dtype, fold_bn=self.fold_bn)
         v = self.visual
 
         b0 = BasicConv(2 * inter, 1, stride=self.stride, name="branch0_0", **d)(x, train)
@@ -145,11 +148,12 @@ class BasicRFBa(nn.Module):
     stride: int = 1
     scale: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         inter = self.in_planes // 4
-        d = dict(dtype=self.dtype)
+        d = dict(dtype=self.dtype, fold_bn=self.fold_bn)
 
         b0 = BasicConv(inter, 1, name="branch0_0", **d)(x, train)
         b0 = BasicConv(inter, 3, padding=1, relu=False, name="branch0_1", **d)(b0, train)

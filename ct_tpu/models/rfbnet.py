@@ -129,10 +129,12 @@ class RFBNet(nn.Module):
     size: int = 300
     dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 on TPU)
     use_pallas_ct: bool = False         # fused Pallas CT attention (TPU)
+    fold_bn: bool = False               # serving: BN folded into convs
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Predictions:
-        d = dict(dtype=self.dtype)
+        d = dict(dtype=self.dtype, fold_bn=self.fold_bn)   # BasicConv/RFB
+        dc = dict(dtype=self.dtype)                         # plain nn.Conv
         task = self.task
         src_c = task.src_cls_dim
 
@@ -150,7 +152,7 @@ class RFBNet(nn.Module):
                     spec["out"], (spec["kernel"],) * 2,
                     padding=[(spec["pad"],) * 2] * 2,
                     kernel_dilation=(spec["dil"],) * 2,
-                    use_bias=True, name=f"vgg_{idx}", **d,
+                    use_bias=True, name=f"vgg_{idx}", **dc,
                 )(x)
                 x = nn.relu(x)
             else:
@@ -182,7 +184,7 @@ class RFBNet(nn.Module):
             a = mbox(self.size)[i]
             head = lambda c, name: nn.Conv(
                 a * c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
-                name=name, **d,
+                name=name, **dc,
             )(s)
             loc.append(head(4, f"loc_{i}").reshape(b, -1, 4))
             cmap = head(src_c, f"conf_{i}")
