@@ -11,8 +11,7 @@ Everything here is static Python — consumed at trace time, never inside jit.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,7 @@ equivalent for frozen statistics, which the parity test asserts.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -16,7 +16,7 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

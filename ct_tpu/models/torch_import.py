@@ -20,7 +20,7 @@ Tensor layout transforms: conv [O,I,kh,kw] → [kh,kw,I,O]; linear [O,I] → [I,
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -169,8 +169,6 @@ def merge_variables(
     phase-2 model) is dropped, letting the fresh init stand. Returns the
     merged tree and a report {flat_key: 'loaded'|'shape_mismatch'|'missing'}.
     """
-    import jax
-
     report: Dict[str, str] = {}
 
     flat_init = _flatten(init_vars)

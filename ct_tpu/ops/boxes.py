@@ -13,7 +13,7 @@ compute dtype to keep box outputs bit-stable under XLA fusion.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 

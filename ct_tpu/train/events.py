@@ -19,7 +19,7 @@ import logging
 import os
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 logger = logging.getLogger(__name__)
 

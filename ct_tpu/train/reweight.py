@@ -14,7 +14,6 @@ fixed shapes, fully on device; only the tiny [C, D] accumulators come home.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

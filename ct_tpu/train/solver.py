@@ -15,7 +15,7 @@ scale_by_schedule(-lr)``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

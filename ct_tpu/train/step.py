@@ -21,12 +21,12 @@ renormalization) with a single compiled SPMD program:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ct_tpu.config import TaskSpec
 from ct_tpu.models.rfbnet import RFBNet, eval_scores
@@ -115,7 +115,7 @@ def make_train_step(
     # shard_map: explicit per-device program + psum — compiles the
     # single-device graph once (GSPMD auto-partitioning of the full
     # backward is prohibitively slow to compile for this model)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     batch_specs = {
         "image": P(DATA_AXIS), "boxes": P(DATA_AXIS),
@@ -168,7 +168,7 @@ def make_eval_step(
 
     if mesh is None:
         return jax.jit(step)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         step, mesh=mesh,

@@ -7,7 +7,6 @@ output folder, and the rate-limited helpers (:127-193).
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import sys

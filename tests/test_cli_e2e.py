@@ -31,7 +31,12 @@ def devkit(tmp_path, monkeypatch):
 
     dk = make_mini_voc_all(str(tmp_path))
     monkeypatch.setenv("VOC_ROOT", dk)
-    return dk
+    yield dk
+    # each CLI run compiles a full train+eval program; drop the jit caches
+    # so a sequence of these tests doesn't accumulate into an OOM abort
+    import jax
+
+    jax.clear_caches()
 
 
 def test_phase1_train_eval_retest(devkit, tmp_path):
