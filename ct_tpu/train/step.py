@@ -115,7 +115,11 @@ def make_train_step(
     # shard_map: explicit per-device program + psum — compiles the
     # single-device graph once (GSPMD auto-partitioning of the full
     # backward is prohibitively slow to compile for this model)
-    from jax import shard_map
+    # NOTE: jax.shard_map (the new entry point) deadlocks the XLA-CPU
+    # collective rendezvous on virtual-device meshes in jax 0.9.0; the
+    # experimental entry point lowers the old way and works. Revisit on
+    # upgrade.
+    from jax.experimental.shard_map import shard_map
 
     batch_specs = {
         "image": P(DATA_AXIS), "boxes": P(DATA_AXIS),
@@ -168,7 +172,11 @@ def make_eval_step(
 
     if mesh is None:
         return jax.jit(step)
-    from jax import shard_map
+    # NOTE: jax.shard_map (the new entry point) deadlocks the XLA-CPU
+    # collective rendezvous on virtual-device meshes in jax 0.9.0; the
+    # experimental entry point lowers the old way and works. Revisit on
+    # upgrade.
+    from jax.experimental.shard_map import shard_map
 
     sharded = shard_map(
         step, mesh=mesh,

@@ -15,9 +15,13 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # virtual device threads time-share the host cores; don't let XLA-CPU
+    # fatally abort a collective just because the host is slow/oversubscribed
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
