@@ -58,6 +58,21 @@ def test_phase1_train_eval_retest(devkit, tmp_path):
                           "--save-folder", save])
     assert res2["mAP"] == res["mAP"]
 
+    # device NMS vs native host NMS: detections must agree (the only
+    # divergence allowed is the device path's top-200 candidate tail)
+    import shutil
+
+    from ct_tpu.tools.diff_detections import diff
+
+    dev = save + "/dets_device.pkl"
+    shutil.copy(save + "/inference/detections.pkl", dev)
+    test_cli.main(["-d", "VOC", "-p", "1", "--host-nms",
+                   "--load-file", save + "/model_final.ckpt",
+                   "--save-folder", save, "-b", "4"])
+    fid = diff(dev, save + "/inference/detections.pkl", iou_thr=0.75)
+    assert fid["match_rate"] > 0.95, fid
+    assert fid["p99_box_err_px"] == 0.0, fid
+
 
 def test_phase2_transfer_instance_shot(devkit, tmp_path):
     import train as train_cli
