@@ -106,3 +106,20 @@ def test_phase2_incre(devkit, tmp_path):
                          "--load-file", save + "/model_final.ckpt",
                          "--save-folder", save, "-b", "4"])
     assert "base_mAP" in res and "novel_mAP" in res
+
+
+def test_phase2_ft_baseline(devkit, tmp_path):
+    """Plain fine-tune baseline (method='ft'): no CT head, 20-class conf."""
+    import train as train_cli
+    import test as test_cli
+
+    save = str(tmp_path / "w4")
+    train_cli.main(["-d", "VOC", "-p", "2", "--setting", "transfer",
+                    "-m", "ft", "--shot", "5", "--max-iter", "2",
+                    "--checkpoint-period", "5", "--save-folder", save]
+                   + COMMON)
+    res = test_cli.main(["-d", "VOC", "-p", "2", "--setting", "transfer",
+                         "--method", "ft",
+                         "--load-file", save + "/model_final.ckpt",
+                         "--save-folder", save, "-b", "4"])
+    assert len(res["APs"]) == 20
