@@ -44,6 +44,13 @@ def parse_args(argv=None):
                         help="Inference batch size (device-batched NMS).")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (TPU)")
+    parser.add_argument("--pallas-ct", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="Fused Pallas CT attention (auto = on TPU)")
+    parser.add_argument("--approx-topk", choices=["auto", "on", "off"],
+                        default="off",
+                        help="approx_max_k NMS candidate selection "
+                             "(off by default: exact parity)")
     parser.add_argument("--host-nms", action="store_true",
                         help="Run NMS on the host via the native C++ lib "
                              "(parity with the reference --cpu path)")
@@ -66,7 +73,11 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
             args, net, variables, dataset, task, priors, img_dim, logger
         )
 
-    eval_step = make_eval_step(net, priors)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    approx = args.approx_topk == "on" or (
+        args.approx_topk == "auto" and on_tpu
+    )
+    eval_step = make_eval_step(net, priors, approx_top_k=approx)
     transform = EvalTransform(img_dim, RGB_MEANS)
     num_images = len(dataset)
     num_classes = task.num_classes
@@ -239,6 +250,15 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else None
     net = build_net(task, img_dim, dtype=dtype)
+    if task.has_ct_head and (
+        args.pallas_ct == "on"
+        or (args.pallas_ct == "auto"
+            and jax.devices()[0].platform == "tpu")
+    ):
+        import dataclasses
+
+        net = dataclasses.replace(net, use_pallas_ct=True)
+        logger.info("Using fused Pallas CT attention")
     state = init_train_state(net, None, jax.random.PRNGKey(0), img_dim)
     ck = Checkpointer(args.save_folder)
     loaded = ck.resume_or_load(

@@ -69,6 +69,9 @@ def parse_args(argv=None):
                         help="Static per-image annotation padding")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (TPU)")
+    parser.add_argument("--pallas-ct", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="Fused Pallas CT attention (auto = on TPU)")
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of steps 10-15")
     parser.add_argument("--device-augment", action="store_true",
@@ -162,6 +165,14 @@ def main(argv=None):
     # --- model / mesh / optimizer ----------------------------------------
     dtype = jnp.bfloat16 if args.bf16 else None
     net = build_net(task, img_dim, dtype=dtype)
+    use_pallas = args.pallas_ct == "on" or (
+        args.pallas_ct == "auto" and jax.devices()[0].platform == "tpu"
+    )
+    if use_pallas and task.has_ct_head:
+        import dataclasses
+
+        net = dataclasses.replace(net, use_pallas_ct=True)
+        logger.info("Using fused Pallas CT attention")
     mesh = make_mesh(args.ndev or None)
     logger.info("Mesh: %s", mesh)
 
