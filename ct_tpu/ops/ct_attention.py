@@ -95,19 +95,127 @@ def ct_attention(q, k, v, base, wz, block_q: int = 1024,
     )(q, k, v, base, wz[None, :])
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dwz_ref, *, p_total: int):
+    """Blockwise backward: recompute S/attn per q block, accumulate dk/dv/dwz
+    across q blocks (sequential TPU grid revisits the same output block).
+
+    For out = base + (softmax(q kᵀ) v) · wz:
+      dv  = attnᵀ (g·wz)
+      dS  = attn ⊙ (dA − rowsum(attn ⊙ dA)),  dA = (g·wz) vᵀ
+      dq  = dS k,  dk = dSᵀ q,  dwz = Σ_p g ⊙ (attn v)
+    """
+    j = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)        # [bq, C]
+    k = k_ref[0].astype(jnp.float32)        # [K, C]
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)        # [bq, C]
+    wz = wz_ref[0, :].astype(jnp.float32)   # [C]
+    bq = q.shape[0]
+
+    # rows past the true P (padded final block) must not contribute; note
+    # out-of-bounds block reads are undefined (NaN in interpret mode) and
+    # 0·NaN = NaN, so every operand feeding an accumulated product must be
+    # masked — not just the attention rows
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    live = (j * bq + row_ids) < p_total      # [bq, 1]
+    q = jnp.where(live, q, 0.0)
+    g = jnp.where(live, g, 0.0)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                        # [bq, K]
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - s_max)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn = jnp.where(live, attn, 0.0)        # kill padded rows (may be nan)
+    gv = jnp.where(live, g * wz, 0.0)        # [bq, C]
+
+    dv_blk = jax.lax.dot_general(            # attnᵀ @ gv → [K, C]
+        attn, gv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dattn = jax.lax.dot_general(             # gv @ vᵀ → [bq, K]
+        gv, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rowsum = jnp.sum(attn * dattn, axis=-1, keepdims=True)
+    ds = attn * (dattn - rowsum)             # [bq, K]
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)      # [bq, C]
+    dk_blk = jax.lax.dot_general(            # dsᵀ @ q → [K, C]
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+    g_live = jnp.where(live, g, 0.0)
+    dwz_blk = jnp.sum(g_live * delta, axis=0, keepdims=True)     # [1, C]
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
+        dwz_ref[0] = dwz_blk.astype(dwz_ref.dtype)
+
+    @pl.when(j > 0)
+    def _accum():
+        dk_ref[0] = dk_ref[0] + dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv_blk.astype(dv_ref.dtype)
+        dwz_ref[0] = dwz_ref[0] + dwz_blk.astype(dwz_ref.dtype)
+
+
+def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 256,
+                            interpret: bool = False):
+    """→ (dq, dk, dv, dwz) via the blockwise Pallas backward."""
+    b, p, c = q.shape
+    kk = k.shape[1]
+    qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv, dwz = pl.pallas_call(
+        functools.partial(_bwd_kernel, p_total=p),
+        grid=(b, pl.cdiv(p, block_q)),
+        in_specs=[
+            qspec, kvspec, kvspec,
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec,
+        ],
+        out_specs=[
+            qspec, kvspec, kvspec,
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, kk, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, kk, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * p * kk * c,
+            bytes_accessed=4 * b * (4 * p * c + 4 * kk * c),
+            transcendentals=b * p * kk,
+        ),
+        interpret=interpret,
+    )(q, k, v, wz[None, :], g)
+    return dq, dk, dv, jnp.sum(dwz[:, 0, :], axis=0)
+
+
 def _fwd(q, k, v, base, wz, block_q, interpret):
     return ct_attention(q, k, v, base, wz, block_q, interpret), (q, k, v, wz)
 
 
 def _bwd(block_q, interpret, residuals, g):
     q, k, v, wz = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, base_, wz_: ct_attention_reference(
-            q_, k_, v_, base_, wz_
-        ),
-        q, k, v, jnp.zeros_like(g), wz,
+    dq, dk, dv, dwz = ct_attention_bwd_pallas(
+        q, k, v, wz, g, min(block_q, 256), interpret
     )
-    return vjp(g)
+    # d/d(base) of (base + delta·wz) is the upstream cotangent itself
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            g, dwz.astype(wz.dtype))
 
 
 ct_attention.defvjp(_fwd, _bwd)

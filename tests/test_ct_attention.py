@@ -50,3 +50,21 @@ def test_custom_vjp_matches_reference_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backward_partial_block_masking():
+    """P not divisible by block_q: padded rows must not pollute dk/dv/dwz."""
+    rng = np.random.RandomState(3)
+    q, k, v, base, wz = make_inputs(rng, b=2, p=300, k=64)  # 300 = 128+128+44
+
+    def loss_kernel(q, k, v, base, wz):
+        return jnp.sum(ct_attention(q, k, v, base, wz, 128, True) ** 2)
+
+    def loss_ref(q, k, v, base, wz):
+        return jnp.sum(ct_attention_reference(q, k, v, base, wz) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
