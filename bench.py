@@ -88,6 +88,27 @@ def main():
     ips = batch * iters / dt
     log(f"{ips:.1f} images/sec/chip (batch={batch}, {iters} iters, {dt:.3f}s)")
 
+    # p50 NMS latency (BASELINE tracked metric): postprocess-only pass
+    from ct_tpu.models.rfbnet import eval_scores
+    from ct_tpu.ops.detection import postprocess
+
+    preds = net.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=False,
+    )
+    conf, obj = eval_scores(preds)
+    nms_fn = jax.jit(lambda l, c, o, z: postprocess(
+        l, c, o, priors, image_sizes=z, approx_top_k=on_tpu))
+    jax.block_until_ready(nms_fn(preds.loc, conf, obj, sizes))
+    samples = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        jax.block_until_ready(nms_fn(preds.loc, conf, obj, sizes))
+        samples.append(time.perf_counter() - t0)
+    p50_ms = sorted(samples)[len(samples) // 2] * 1e3
+    log(f"p50 NMS (decode+fuse+suppress+cap, batch {batch}): {p50_ms:.2f} ms"
+        f" = {p50_ms / batch:.3f} ms/img")
+
     print(json.dumps({
         "metric": "images/sec/chip RFBNet300 infer",
         "value": round(ips, 1),
