@@ -108,6 +108,19 @@ COCO_MOBILE_300 = SSDConfig(
     aspect_ratios=((2, 3), (2, 3), (2, 3), (2, 3), (2,), (2,)),
 )
 
+# Reduced-geometry config for the size-64 tiny model variant (multichip
+# dryrun + fast sharded tests on 1-core XLA-CPU hosts; never a parity target).
+# Matches the tiny plan in models/rfbnet.py: sources = Norm@16x16, RFB@8x8.
+TINY_64 = SSDConfig(
+    name="TINY_64",
+    min_dim=64,
+    feature_maps=(16, 8),
+    steps=(4, 8),
+    min_sizes=(16, 28),
+    max_sizes=(28, 44),
+    aspect_ratios=((2,), (2,)),
+)
+
 CONFIGS = {
     ("VOC", 300): VOC_300,
     ("VOC", 512): VOC_512,

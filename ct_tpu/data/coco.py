@@ -57,14 +57,35 @@ VOC_CAT_INDICES = (0, 1, 2, 3, 4, 5, 6, 8, 14, 15, 16, 17, 18, 19, 39, 56,
 NONVOC_CAT_INDICES = tuple(i for i in range(80) if i not in VOC_CAT_INDICES)
 
 
-class CocoIndex:
-    """Minimal pure-Python COCO annotation index (replaces pycocotools.COCO
-    for the detection path)."""
+def _as_list(x):
+    return list(x) if isinstance(x, (list, tuple, np.ndarray)) else [x]
 
-    def __init__(self, annotation_file: str):
-        with open(annotation_file) as f:
-            dataset = json.load(f)
+
+class CocoIndex:
+    """Pure-Python COCO annotation index with the pycocotools ``COCO`` API.
+
+    Behavioral parity target: /root/reference/utils/pycocotools/coco.py —
+    the index structure (:90-119), the ``getAnnIds``/``getCatIds``/
+    ``getImgIds`` filters (:128-199), ``loadAnns``/``loadCats``/``loadImgs``
+    (:200-231), ``loadRes`` (:297-356), ``loadNumpyAnnotations`` (:380-404)
+    and ``annToRLE``/``annToMask`` (:406-433, over the native RLE backend in
+    ``ct_tpu.data.mask``). Validated against the reference as an oracle in
+    ``tests/test_coco_api.py``.
+    """
+
+    def __init__(self, annotation_source=None):
+        if annotation_source is None:
+            dataset = {"images": [], "annotations": [], "categories": []}
+        elif isinstance(annotation_source, dict):
+            dataset = annotation_source
+        else:
+            with open(annotation_source) as f:
+                dataset = json.load(f)
         self.dataset = dataset
+        self._build_index()
+
+    def _build_index(self):
+        dataset = self.dataset
         self.imgs: Dict[int, dict] = {
             img["id"]: img for img in dataset.get("images", [])
         }
@@ -75,8 +96,10 @@ class CocoIndex:
             a["id"]: a for a in dataset.get("annotations", [])
         }
         self.img_to_anns: Dict[int, List[dict]] = defaultdict(list)
+        self.cat_to_imgs: Dict[int, List[int]] = defaultdict(list)
         for a in dataset.get("annotations", []):
             self.img_to_anns[a["image_id"]].append(a)
+            self.cat_to_imgs[a["category_id"]].append(a["image_id"])
 
     def get_cat_ids(self) -> List[int]:
         return sorted(self.cats.keys())
@@ -86,6 +109,164 @@ class CocoIndex:
 
     def load_anns_for_img(self, img_id: int) -> List[dict]:
         return self.img_to_anns.get(img_id, [])
+
+    # -- pycocotools-compatible surface -------------------------------------
+
+    def info(self):
+        for k, v in self.dataset.get("info", {}).items():
+            logger.info("%s: %s", k, v)
+
+    def getAnnIds(self, imgIds=(), catIds=(), areaRng=(), iscrowd=None):
+        """Annotation ids passing all given filters (dataset order).
+        ``areaRng`` filters strictly inside (lo, hi); ``iscrowd`` matches
+        the flag exactly when given."""
+        imgIds, catIds = _as_list(imgIds), _as_list(catIds)
+        areaRng = list(areaRng)
+        if imgIds:
+            anns = [a for i in imgIds for a in self.img_to_anns.get(i, [])]
+        else:
+            anns = self.dataset.get("annotations", [])
+        if catIds:
+            cat_set = set(catIds)
+            anns = [a for a in anns if a["category_id"] in cat_set]
+        if areaRng:
+            anns = [a for a in anns
+                    if areaRng[0] < a["area"] < areaRng[1]]
+        if iscrowd is not None:
+            anns = [a for a in anns if a["iscrowd"] == iscrowd]
+        return [a["id"] for a in anns]
+
+    def getCatIds(self, catNms=(), supNms=(), catIds=()):
+        """Category ids filtered by name / supercategory / id."""
+        catNms, supNms = _as_list(catNms), _as_list(supNms)
+        catIds = _as_list(catIds)
+        cats = self.dataset.get("categories", [])
+        if catNms:
+            cats = [c for c in cats if c["name"] in catNms]
+        if supNms:
+            cats = [c for c in cats if c["supercategory"] in supNms]
+        if catIds:
+            cats = [c for c in cats if c["id"] in catIds]
+        return [c["id"] for c in cats]
+
+    def getImgIds(self, imgIds=(), catIds=()):
+        """Image ids restricted to ``imgIds`` that contain *all* given
+        categories (intersection semantics, like the reference)."""
+        imgIds, catIds = _as_list(imgIds), _as_list(catIds)
+        if not imgIds and not catIds:
+            return list(self.imgs.keys())
+        ids = set(imgIds)
+        for i, cat_id in enumerate(catIds):
+            if i == 0 and not ids:
+                ids = set(self.cat_to_imgs[cat_id])
+            else:
+                ids &= set(self.cat_to_imgs[cat_id])
+        return list(ids)
+
+    def loadAnns(self, ids=()):
+        return [self.anns[i] for i in _as_list(ids)]
+
+    def loadCats(self, ids=()):
+        return [self.cats[i] for i in _as_list(ids)]
+
+    def loadImgs(self, ids=()):
+        return [self.imgs[i] for i in _as_list(ids)]
+
+    def loadNumpyAnnotations(self, data: np.ndarray) -> List[dict]:
+        """[N,7] array rows {imageID,x1,y1,w,h,score,class} → result dicts."""
+        data = np.asarray(data)
+        assert data.ndim == 2 and data.shape[1] == 7
+        return [
+            {
+                "image_id": int(row[0]),
+                "bbox": [row[1], row[2], row[3], row[4]],
+                "score": row[5],
+                "category_id": int(row[6]),
+            }
+            for row in data
+        ]
+
+    def loadRes(self, res) -> "CocoIndex":
+        """Build a result index over this GT's images from a results json
+        path, a list of result dicts, or an [N,7] numpy array."""
+        if isinstance(res, str):
+            with open(res) as f:
+                anns = json.load(f)
+        elif isinstance(res, np.ndarray):
+            anns = self.loadNumpyAnnotations(res)
+        else:
+            anns = list(res)
+        assert isinstance(anns, list), "results must be a list of objects"
+        res_img_ids = set(a["image_id"] for a in anns)
+        assert res_img_ids <= set(self.getImgIds()), (
+            "Results do not correspond to current coco set"
+        )
+
+        out = {"images": list(self.dataset.get("images", []))}
+        if anns and "caption" in anns[0]:
+            out["images"] = [im for im in out["images"]
+                             if im["id"] in res_img_ids]
+            anns = [dict(a, id=i) for i, a in enumerate(anns, 1)]
+        elif anns and anns[0].get("bbox"):
+            out["categories"] = [dict(c) for c in
+                                 self.dataset.get("categories", [])]
+            filled = []
+            for i, a in enumerate(anns, 1):
+                x, y, w, h = a["bbox"]
+                a = dict(a, id=i, area=w * h, iscrowd=0)
+                a.setdefault(
+                    "segmentation",
+                    [[x, y, x, y + h, x + w, y + h, x + w, y]],
+                )
+                filled.append(a)
+            anns = filled
+        elif anns and "segmentation" in anns[0]:
+            from ct_tpu.data import mask as mask_api
+
+            out["categories"] = [dict(c) for c in
+                                 self.dataset.get("categories", [])]
+            filled = []
+            for i, a in enumerate(anns, 1):
+                a = dict(a, id=i, iscrowd=0,
+                         area=float(mask_api.area(a["segmentation"])))
+                if "bbox" not in a:
+                    a["bbox"] = mask_api.toBbox(a["segmentation"]).tolist()
+                filled.append(a)
+            anns = filled
+        elif anns and "keypoints" in anns[0]:
+            out["categories"] = [dict(c) for c in
+                                 self.dataset.get("categories", [])]
+            filled = []
+            for i, a in enumerate(anns, 1):
+                kp = np.asarray(a["keypoints"], float)
+                x, y = kp[0::3], kp[1::3]
+                x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
+                filled.append(dict(
+                    a, id=i, area=(x1 - x0) * (y1 - y0),
+                    bbox=[x0, y0, x1 - x0, y1 - y0],
+                ))
+            anns = filled
+        out["annotations"] = anns
+        return CocoIndex(out)
+
+    def annToRLE(self, ann: dict) -> dict:
+        """Polygon / uncompressed-RLE / RLE segmentation → compressed RLE."""
+        from ct_tpu.data import mask as mask_api
+
+        im = self.imgs[ann["image_id"]]
+        h, w = im["height"], im["width"]
+        segm = ann["segmentation"]
+        if isinstance(segm, list):
+            # multi-part polygon: merge part masks into one RLE
+            return mask_api.merge(mask_api.frPyObjects(segm, h, w))
+        if isinstance(segm["counts"], list):
+            return mask_api.frPyObjects(segm, h, w)
+        return segm
+
+    def annToMask(self, ann: dict) -> np.ndarray:
+        from ct_tpu.data import mask as mask_api
+
+        return mask_api.decode(self.annToRLE(ann))
 
 
 class COCODetection:

@@ -111,10 +111,10 @@ class COCOEvaluator:
         g_crowd = np.asarray(
             [bool(g.get("iscrowd", 0)) for g in gt], dtype=bool
         )
-        g_ignore_base = np.asarray(
-            [bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
-             for g in gt], dtype=bool,
-        )
+        # the reference's vendored COCOeval overwrites any explicit json
+        # 'ignore' field: GT ignore ⇔ iscrowd (cocoeval.py:108-109 sets
+        # gt['ignore'] = iscrowd after reading the field) — match exactly
+        g_ignore_base = g_crowd.copy()
         g_area = np.asarray([g.get("area", b[2] * b[3])
                              for g, b in zip(gt, g_boxes)], dtype=float)
         d_boxes = np.asarray([d["bbox"] for d in dt]).reshape(-1, 4)
@@ -135,10 +135,16 @@ class COCOEvaluator:
         for m in per_image:
             g_ig = m["g_ignore"] | (m["g_area"] < area_rng[0]) | (
                 m["g_area"] > area_rng[1])
-            scores = m["scores"][:max_det]
-            ious = m["ious"][:max_det]
-            nd, ng = ious.shape
             npig += int((~g_ig).sum())
+            # pycocotools orders GTs non-ignored-first (stable) before
+            # matching; the "prefer real GT" early-break below relies on
+            # every GT after the first ignored one also being ignored
+            g_order = np.argsort(g_ig, kind="mergesort")
+            g_ig = g_ig[g_order]
+            g_crowd = m["g_crowd"][g_order]
+            scores = m["scores"][:max_det]
+            ious = m["ious"][:max_det][:, g_order]
+            nd, ng = ious.shape
 
             tp = np.zeros((n_iou, nd), dtype=bool)
             d_ig = np.zeros((n_iou, nd), dtype=bool)
@@ -148,10 +154,10 @@ class COCOEvaluator:
                     best, best_iou = -1, min(thr, 1 - 1e-10)
                     for gi in range(ng):
                         # crowds can absorb multiple detections
-                        if g_matched[gi] and not m["g_crowd"][gi]:
+                        if g_matched[gi] and not g_crowd[gi]:
                             continue
                         # prefer real GT: once matched to a non-ignored gt,
-                        # don't switch to an ignored one
+                        # stop at the ignored tail
                         if (best > -1 and not g_ig[best] and g_ig[gi]):
                             break
                         if ious[di, gi] < best_iou:

@@ -39,16 +39,26 @@ from ct_tpu.models.layers import BasicConv, BasicRFB, BasicRFBa, max_pool2d
 VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "C",
            512, 512, 512, "M", 512, 512, 512)
 
+# Reduced-depth plan for the 64×64 "tiny" variant: same structural shape
+# (conv stages → Norm RFB-a source → pool → dilated fc6/fc7 → RFB extras →
+# multibox + CT heads) at a fraction of the ops, so the full shard_map train
+# step compiles in seconds on a 1-core XLA-CPU host. Used only by the
+# multichip dryrun and fast sharded-correctness tests — never for parity.
+VGG_CFG_TINY = (16, "M", 32, "C", 64, "M")
 
-def vgg_plan() -> List[Tuple[str, int, Any]]:
+
+def vgg_plan(size: int = 300) -> List[Tuple[str, int, Any]]:
     """VGG16-reducedfc layer plan as (kind, torch_index, spec) tuples.
 
     torch_index is the position in the reference's ``nn.ModuleList`` so the
     importer can map ``base.{i}.weight`` keys mechanically.
     """
+    tiny = size == 64
+    cfg = VGG_CFG_TINY if tiny else VGG_CFG
+    fc_out, fc_dil = (128, 2) if tiny else (1024, 6)
     plan: List[Tuple[str, int, Any]] = []
     idx = 0
-    for v in VGG_CFG:
+    for v in cfg:
         if v == "M":
             plan.append(("pool", idx, dict(kernel=2, stride=2, ceil=False)))
             idx += 1
@@ -60,9 +70,10 @@ def vgg_plan() -> List[Tuple[str, int, Any]]:
             idx += 2  # conv + relu
     plan.append(("pool", idx, dict(kernel=3, stride=1, pad=1, ceil=False)))
     idx += 1
-    plan.append(("conv", idx, dict(out=1024, kernel=3, pad=6, dil=6)))  # fc6
+    plan.append(("conv", idx,
+                 dict(out=fc_out, kernel=3, pad=fc_dil, dil=fc_dil)))  # fc6
     idx += 2
-    plan.append(("conv", idx, dict(out=1024, kernel=1, pad=0, dil=1)))  # fc7
+    plan.append(("conv", idx, dict(out=fc_out, kernel=1, pad=0, dil=1)))  # fc7
     return plan
 
 
@@ -70,8 +81,15 @@ def vgg_plan() -> List[Tuple[str, int, Any]]:
 VGG_CONV43_TORCH_IDX = 23
 
 
+def norm_spec(size: int) -> Tuple[int, int]:
+    """(torch-plan index where the Norm RFB-a source taps off, channels)."""
+    return (8, 64) if size == 64 else (VGG_CONV43_TORCH_IDX, 512)
+
+
 def extras_plan(size: int) -> List[Tuple[str, Dict[str, int]]]:
     """Extra feature layers: ('rfb'|'conv', spec). Matches add_extras."""
+    if size == 64:
+        return [("rfb", dict(out=128, stride=1, visual=2))]
     if size == 300:
         return [
             ("rfb", dict(out=1024, stride=1, visual=2)),
@@ -97,6 +115,8 @@ def extras_plan(size: int) -> List[Tuple[str, Dict[str, int]]]:
 
 def source_indices(size: int) -> List[int]:
     """Which extras outputs feed detection heads (k < indicator or even)."""
+    if size == 64:
+        return [0]
     indicator = 3 if size == 300 else 5
     return [
         k for k in range(len(extras_plan(size)))
@@ -105,6 +125,8 @@ def source_indices(size: int) -> List[int]:
 
 
 def mbox(size: int) -> List[int]:
+    if size == 64:
+        return [4, 4]
     return [6, 6, 6, 6, 4, 4] if size == 300 else [6, 6, 6, 6, 6, 4, 4]
 
 
@@ -112,7 +134,8 @@ def mbox(size: int) -> List[int]:
 # per source map. 300 is the reference schedule (RFB_Net_vgg.py:235-236);
 # 512 extends it by one mid-level 2x entry (phase 2 @512 is unreachable in
 # the reference — the hardcoded 6-entry list would not cover 7 maps).
-CT_POOL = {300: (3, 2, 2, 2, 1, 1), 512: (3, 2, 2, 2, 2, 1, 1)}
+CT_POOL = {300: (3, 2, 2, 2, 1, 1), 512: (3, 2, 2, 2, 2, 1, 1),
+           64: (2, 1)}
 
 
 class Predictions(NamedTuple):
@@ -139,13 +162,13 @@ class RFBNet(nn.Module):
         src_c = task.src_cls_dim
 
         sources = []
-        plan = vgg_plan()
+        plan = vgg_plan(self.size)
+        norm_idx, norm_ch = norm_spec(self.size)
         for kind, idx, spec in plan:
-            if idx == VGG_CONV43_TORCH_IDX:
+            if idx == norm_idx:
                 sources.append(
-                    BasicRFBa(512, 512, stride=1, scale=1.0, name="Norm", **d)(
-                        x, train
-                    )
+                    BasicRFBa(norm_ch, norm_ch, stride=1, scale=1.0,
+                              name="Norm", **d)(x, train)
                 )
             if kind == "conv":
                 x = nn.Conv(
@@ -268,8 +291,11 @@ class RFBNet(nn.Module):
 
 def build_net(task: TaskSpec, size: int = 300,
               dtype: Optional[jnp.dtype] = None) -> RFBNet:
-    if size not in (300, 512):
-        raise ValueError("Only RFBNet300 and RFBNet512 are supported.")
+    # 64 is the reduced-depth dryrun/test variant (see VGG_CFG_TINY);
+    # 300/512 are the production detectors matching the reference.
+    if size not in (64, 300, 512):
+        raise ValueError("Only RFBNet300 and RFBNet512 are supported "
+                         "(plus the size-64 test variant).")
     return RFBNet(task=task, size=size, dtype=dtype)
 
 

@@ -97,9 +97,9 @@ int ct_cpu_soft_nms(float* dets, int n, float iou_thresh, float sigma,
   return kept;
 }
 
-// Pairwise IoU between [n,4] and [m,4] xyxy boxes with the +1 convention
-// (the bbIou backing COCO-style evaluation when iscrowd=0; crowd columns
-// use intersection / det-area).
+// Pairwise IoU between [n,4] and [m,4] xyxy boxes, exact-area convention
+// (the bbIou backing COCO-style evaluation; crowd columns use
+// intersection / det-area, matching pycocotools' iscrowd semantics).
 void ct_bb_iou(const float* boxes_a, int n, const float* boxes_b, int m,
                const uint8_t* b_is_crowd, float* out) {
   for (int i = 0; i < n; ++i) {

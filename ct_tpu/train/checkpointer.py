@@ -164,7 +164,18 @@ class PeriodicCheckpointer:
         self.period = period
         self.max_iter = max_iter
 
-    def step(self, iteration: int, **state):
+    def should_save(self, iteration: int) -> bool:
+        return ((iteration + 1) % self.period == 0
+                or iteration >= self.max_iter - 1)
+
+    def step(self, iteration: int, state_fn=None, **state):
+        """``state_fn`` (zero-arg → state dict) is only invoked when a save
+        actually triggers, so callers can defer the device→host transfer of
+        the parameter tree instead of paying it every iteration."""
+        if not self.should_save(iteration):
+            return
+        if state_fn is not None:
+            state = dict(state_fn(), **state)
         if (iteration + 1) % self.period == 0:
             self.checkpointer.save(
                 f"model_{iteration:07d}", iteration=iteration, **state

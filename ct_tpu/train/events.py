@@ -62,13 +62,19 @@ class EventStorage:
         self._smoothing: Dict[str, bool] = {}
         self.iter = start_iter
 
-    def put_scalar(self, name: str, value, smoothing_hint: bool = True):
-        self._histories[name].update(float(value), self.iter)
+    def put_scalar(self, name: str, value, smoothing_hint: bool = True,
+                   iteration: Optional[int] = None):
+        """``iteration`` overrides the storage cursor — used by the train
+        loop's deferred metric flush, which records several past iterations'
+        device metrics in one batched host transfer."""
+        it = self.iter if iteration is None else iteration
+        self._histories[name].update(float(value), it)
         self._smoothing[name] = smoothing_hint
 
-    def put_scalars(self, *, smoothing_hint: bool = True, **kwargs):
+    def put_scalars(self, *, smoothing_hint: bool = True,
+                    iteration: Optional[int] = None, **kwargs):
         for k, v in kwargs.items():
-            self.put_scalar(k, v, smoothing_hint)
+            self.put_scalar(k, v, smoothing_hint, iteration=iteration)
 
     def step(self):
         self.iter += 1

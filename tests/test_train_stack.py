@@ -145,9 +145,71 @@ def test_train_step_descends_and_normalizes():
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+def test_train_step_dp8_tiny_exact_parity():
+    """Ungated sharded-correctness check (fast: reduced-depth size-64 net).
+
+    Runs the production shard_map DP train step over an 8-virtual-device
+    mesh on a batch of 8 *identical* images/targets. Identical shards make
+    per-shard BN statistics equal the global-batch statistics, so the
+    sharded step must reproduce the single-device step exactly (up to f32
+    reassociation): gradients psum to the global gradient, the loss
+    normalizer N psums to the global N, and metrics psum to global sums.
+    This keeps the shard_map+psum path exercised in default CI; semantics
+    match the reference's DataParallel (/root/reference/train.py:296-297).
+    """
+    from ct_tpu.config import TINY_64
+
+    task = resolve_task(2, "transfer", "ours", "VOC")
+    net = build_net(task, 64)
+    priors = prior_boxes(TINY_64)
+    cfg = SolverConfig(lr=1e-3, steps=(10**6,), warmup_iters=0)
+
+    s0 = init_train_state(net, None, jax.random.PRNGKey(0), 64)
+    tx = build_optimizer(s0.params, task, cfg)
+    p_np = jax.tree_util.tree_map(np.asarray, s0.params)
+    b_np = jax.tree_util.tree_map(np.asarray, s0.batch_stats)
+
+    def fresh():
+        p = jax.tree_util.tree_map(jnp.asarray, p_np)
+        return TrainState(p, jax.tree_util.tree_map(jnp.asarray, b_np),
+                          tx.init(p), jnp.asarray(0, np.int32))
+
+    one = _tiny_batch(np.random.RandomState(0), b=1, size=64)
+    batch_np = {k: np.repeat(v, 8, axis=0) for k, v in one.items()}
+
+    step1 = make_train_step(net, priors, task, tx)
+    s = fresh()
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s, m1 = step1(s, batch)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    step8 = make_train_step(net, priors, task, tx, mesh=mesh)
+    s8, m8 = step8(replicate(mesh, fresh()), shard_batch(mesh, batch_np))
+
+    for k in m1:
+        np.testing.assert_allclose(float(m8[k]), float(m1[k]), rtol=2e-4,
+                                   err_msg=k)
+    flat1 = jax.tree_util.tree_leaves_with_path(s.params)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(s8.params))
+    for path, v1 in flat1:
+        np.testing.assert_allclose(
+            np.asarray(flat8[path]), np.asarray(v1), rtol=5e-3, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    stats1 = jax.tree_util.tree_leaves_with_path(s.batch_stats)
+    stats8 = dict(jax.tree_util.tree_leaves_with_path(s8.batch_stats))
+    for path, v1 in stats1:
+        np.testing.assert_allclose(
+            np.asarray(stats8[path]), np.asarray(v1), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 @pytest.mark.skipif(
     not os.environ.get("CT_TPU_SLOW_TESTS"),
-    reason="~10 min CPU compile; mesh path is exercised by "
+    reason="~10 min CPU compile; mesh path is exercised ungated by "
+           "test_train_step_dp8_tiny_exact_parity and by "
            "__graft_entry__.dryrun_multichip (set CT_TPU_SLOW_TESTS=1)",
 )
 def test_train_step_dp8_matches_single_device():

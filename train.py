@@ -226,6 +226,25 @@ def main(argv=None):
     storage = EventStorage(start_iter)
     timer = StepTimer()
     profiler_ctx = None
+
+    # Deferred metric fetch: step metrics stay on device and are pulled in
+    # one batched device_get at write points (every 20 iters), so the loop
+    # never blocks on a per-iteration host↔device round trip and the async
+    # dispatch pipeline (donate_argnums double-buffering) stays full. The
+    # reference also only *writes* every 20 iters (train.py:239-241).
+    pending = []  # [(iteration, device-metrics dict)]
+
+    def flush_metrics():
+        if not pending:
+            return
+        host = jax.device_get([m for _, m in pending])
+        for (it, _), vals in zip(pending, host):
+            storage.put_scalars(
+                iteration=it, **{k: float(v) for k, v in vals.items()}
+            )
+            storage.put_scalar("lr", float(schedule(it)),
+                               smoothing_hint=False, iteration=it)
+        pending.clear()
     for iteration in range(start_iter, args.max_iter):
         storage.step()
         if args.profile_dir is not None:
@@ -259,9 +278,7 @@ def main(argv=None):
             batch = dict(aug, weights=weights)
         batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch)
-        storage.put_scalars(**{k: float(v) for k, v in metrics.items()})
-        storage.put_scalar("lr", float(schedule(iteration)),
-                           smoothing_hint=False)
+        pending.append((iteration, metrics))
         dt = timer.tick()
         if dt is not None:
             storage.put_scalar("time", dt)
@@ -269,14 +286,19 @@ def main(argv=None):
         if iteration - start_iter > 5 and (
             iteration % 20 == 0 or iteration == args.max_iter - 1
         ):
+            flush_metrics()
             for w in writers:
                 w.write(storage)
+        # the param-tree device_get only happens when a save triggers
         periodic.step(
             iteration,
-            params=jax.device_get(state.params),
-            batch_stats=jax.device_get(state.batch_stats),
-            opt_state=jax.device_get(state.opt_state),
+            state_fn=lambda: dict(
+                params=jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+                opt_state=jax.device_get(state.opt_state),
+            ),
         )
+    flush_metrics()
     loader.stop()
 
 
