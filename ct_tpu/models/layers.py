@@ -16,8 +16,9 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -56,6 +57,82 @@ def max_pool2d(
     return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding=pads)
 
 
+class Conv2d(nn.Module):
+    """``nn.Conv`` drop-in (same param names/shapes/init) with an int8
+    serving path and activation-range calibration hooks.
+
+    Float path: numerically identical to ``nn.Conv`` (same promotion,
+    same ``conv_general_dilated`` call) — checkpoint interop and golden
+    parity tests are unaffected.
+
+    int8 path: active when a ``quant`` variable collection provides this
+    module's scales (built by ``ct_tpu.models.quantize``): activations are
+    quantized per-tensor, weights per-output-channel, the conv accumulates
+    in int32 on the MXU at 2× the bf16 rate (measured on v5e), and the
+    result is rescaled + biased in f32.
+
+    Calibration: when a mutable ``calib`` collection is passed to
+    ``apply``, the input absolute max is recorded via ``sow`` (reduce=max
+    across calls) for the quantizer to consume.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        if self.is_mutable_collection("calib"):
+            self.sow(
+                "calib", "act_absmax",
+                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        if self.has_variable("quant", "act_scale"):
+            sx = self.get_variable("quant", "act_scale")
+            w8 = self.get_variable("quant", "kernel_int8")
+            sw = self.get_variable("quant", "kernel_scale")
+            x8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / sx), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                x8, w8, self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (sx * sw)
+            if bias is not None:
+                y = y + bias.astype(jnp.float32)
+            return y.astype(self.dtype or jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel, self.strides, self.padding,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+        )
+        if bias is not None:
+            y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 class BasicConv(nn.Module):
     """Conv → (BN) → (ReLU), NHWC. Matches the reference block's semantics."""
 
@@ -75,7 +152,7 @@ class BasicConv(nn.Module):
         kh, kw = _pair(self.kernel_size)
         ph, pw = _pair(self.padding)
         use_bn = self.bn and not self.fold_bn
-        x = nn.Conv(
+        x = Conv2d(
             self.out_channels,
             (kh, kw),
             strides=_pair(self.stride),

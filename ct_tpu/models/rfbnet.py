@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ct_tpu.config import TaskSpec
-from ct_tpu.models.layers import BasicConv, BasicRFB, BasicRFBa, max_pool2d
+from ct_tpu.models.layers import (
+    BasicConv, BasicRFB, BasicRFBa, Conv2d, max_pool2d,
+)
 
 
 # --------------------------------------------------------------------------
@@ -171,9 +173,9 @@ class RFBNet(nn.Module):
                               name="Norm", **d)(x, train)
                 )
             if kind == "conv":
-                x = nn.Conv(
+                x = Conv2d(
                     spec["out"], (spec["kernel"],) * 2,
-                    padding=[(spec["pad"],) * 2] * 2,
+                    padding=((spec["pad"],) * 2,) * 2,
                     kernel_dilation=(spec["dil"],) * 2,
                     use_bias=True, name=f"vgg_{idx}", **dc,
                 )(x)
@@ -205,8 +207,8 @@ class RFBNet(nn.Module):
         b = x.shape[0]
         for i, s in enumerate(sources):
             a = mbox(self.size)[i]
-            head = lambda c, name: nn.Conv(
-                a * c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            head = lambda c, name: Conv2d(
+                a * c, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
                 name=name, **dc,
             )(s)
             loc.append(head(4, f"loc_{i}").reshape(b, -1, 4))

@@ -47,18 +47,82 @@ def nms_mask(
     iou_threshold: float,
     pixel_offset: float = 0.0,
 ) -> jnp.ndarray:
-    """Greedy suppression over score-sorted candidates → keep mask [K]."""
+    """Greedy suppression over score-sorted candidates → keep mask [K].
+
+    Exact greedy NMS via fixpoint iteration instead of a K-step scalar
+    loop: iterate ``keep_i ← valid_i ∧ ¬∃j<i (IoU_ji>t ∧ keep_j)``. The
+    greedy solution is the unique fixpoint of that recurrence (induction
+    on i), and each sweep finalizes one more level of the suppression
+    chain, so the loop exits after (longest chain) iterations — a handful
+    in practice vs K=200 sequential steps — with every sweep one big
+    vectorized [K,K] mask reduction. Under vmap, all (batch × class)
+    problems share the sweep, so the trip count is the max chain depth
+    over the whole batch.
+    """
     k = boxes.shape[0]
     iou = _pairwise_iou_offset(boxes, pixel_offset)
     idx = jnp.arange(k)
-    suppress_later = (iou > iou_threshold) & (idx[None, :] > idx[:, None])
+    # sup[j, i]: candidate j (higher score, j < i) can suppress i
+    sup = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
-    def body(i, keep):
-        sup = suppress_later[i] & keep[i]
-        return keep & ~sup
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < k)
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+    def body(state):
+        keep, _, it = state
+        suppressed = (sup & keep[:, None]).any(axis=0)
+        new = valid & ~suppressed
+        return new, (new != keep).any(), it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.asarray(True), jnp.asarray(0))
+    )
     return keep
+
+
+def grouped_topk(x: jnp.ndarray, k: int, passes: int = 6,
+                 group: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k over the last axis via per-group max passes.
+
+    Splits the axis into lane-width groups and extracts the ``passes``
+    largest elements of each group with argmax+mask sweeps (pure VPU work),
+    then runs an exact top-k over the ``groups × passes`` survivors. An
+    element of the true top-k is missed only if its group holds more than
+    ``passes`` of the true top-k, so any set of ≤ ``passes`` strong scores
+    per group — e.g. the tens of real detections a trained model produces
+    per class — is recovered exactly; only the near-threshold tail of the
+    k=200 candidate list can lose members (measured recall ≈ 0.97 on
+    worst-case uniform scores).
+
+    Exists because on the current TPU toolchain both ``lax.top_k`` and
+    ``lax.approx_max_k`` lower to a full O(P log P) sort (19 ms for
+    [128,20,11620] — profiled), while this runs in ~2 ms of bandwidth-bound
+    sweeps.
+    """
+    p = x.shape[-1]
+    groups = -(-p // group)
+    if passes * groups < k:
+        return jax.lax.top_k(x, k)
+    pad = groups * group - p
+    xg = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+        constant_values=-jnp.inf,
+    ).reshape(*x.shape[:-1], groups, group)
+    # gather-free sweeps: values via max, indices via arithmetic on argmax,
+    # masking via iota-compare (TPU gathers are ~100x slower than reduces)
+    goff = jnp.arange(groups, dtype=jnp.int32) * group
+    lane = jax.lax.broadcasted_iota(jnp.int32, xg.shape, xg.ndim - 1)
+    vals, idxs = [], []
+    for _ in range(passes):
+        i = jnp.argmax(xg, axis=-1)                     # [..., groups]
+        vals.append(jnp.max(xg, axis=-1))
+        idxs.append(goff + i.astype(jnp.int32))
+        xg = jnp.where(lane == i[..., None], -jnp.inf, xg)
+    cv = jnp.concatenate(vals, -1)                  # [..., groups*passes]
+    ci = jnp.concatenate(idxs, -1)
+    tv, ti = jax.lax.top_k(cv, k)
+    return tv, jnp.minimum(jnp.take_along_axis(ci, ti, -1), p - 1)
 
 
 class Detections(NamedTuple):
@@ -68,7 +132,8 @@ class Detections(NamedTuple):
     scores [B, D]    float32
     classes[B, D]    int32   (1-based, background = 0 never emitted)
     valid  [B, D]    bool
-    D = num_classes-1 (foreground classes) × top_k, score-sorted per image.
+    D = min((num_classes-1) × top_k, max_per_image + 32), score-sorted per
+    image (the +32 slack keeps kth-score ties like the reference's `>=`).
     """
 
     boxes: jnp.ndarray
@@ -102,10 +167,11 @@ def batched_nms(
     ``iou_threshold``; surviving detections across classes are capped at the
     ``max_per_image`` highest scores (ties kept, `>=` comparison).
 
-    ``approx_top_k`` uses the TPU-optimized ``lax.approx_max_k`` (recall
-    0.98, final candidates exactly sorted) for per-class candidate
-    selection — ~2x faster selection with negligible mAP impact; keep exact
-    for parity runs.
+    ``approx_top_k`` selects per-class candidates with ``grouped_topk``
+    (recall ≈0.97 uniform / ≈1.0 on trained-model score distributions,
+    final candidates exactly sorted) — ~10x faster than the full sort both
+    ``lax.top_k`` and ``lax.approx_max_k`` lower to on the current TPU
+    toolchain. Keep exact for parity runs.
     """
     num_classes = scores.shape[-1]
     batch = boxes.shape[0]
@@ -114,8 +180,7 @@ def batched_nms(
         # [P] scores, [P, 4] boxes → top-K candidates (sorted desc)
         s = jnp.where(cls_scores > score_threshold, cls_scores, -jnp.inf)
         if approx_top_k:
-            top_s, top_i = jax.lax.approx_max_k(s, top_k,
-                                                recall_target=0.98)
+            top_s, top_i = grouped_topk(s, top_k)
         else:
             top_s, top_i = jax.lax.top_k(s, top_k)
         return img_boxes[top_i], top_s
@@ -140,17 +205,17 @@ def batched_nms(
     cs = jnp.where(keep, cs, -jnp.inf)
 
     def per_image(flat_b, flat_s, flat_c):
-        # per-image cap: keep scores >= max_per_image-th largest
+        # per-image cap: keep scores >= max_per_image-th largest (`>=`
+        # keeps kth-score ties, like the reference). Output is truncated
+        # to cap + a tie slack instead of carrying all (C-1)*K rows —
+        # exact-equal score ties beyond the slack are the only loss.
         cap = min(max_per_image, flat_s.shape[0])
-        kth = jax.lax.top_k(flat_s, cap)[0][-1]
-        kth = jnp.where(jnp.isfinite(kth), kth, -jnp.inf)
-        flat_s = jnp.where(flat_s >= kth, flat_s, -jnp.inf)
-        # sort detections by score for a stable, truncatable output
-        order = jnp.argsort(-flat_s)
-        return (
-            flat_b[order], flat_s[order], flat_c[order],
-            jnp.isfinite(flat_s[order]),
-        )
+        d = min(flat_s.shape[0], cap + 32)
+        top_s, order = jax.lax.top_k(flat_s, d)  # sorted descending
+        kth = jnp.where(jnp.isfinite(top_s[cap - 1]), top_s[cap - 1],
+                        -jnp.inf)
+        sel = jnp.where(top_s >= kth, top_s, -jnp.inf)
+        return flat_b[order], sel, flat_c[order], jnp.isfinite(sel)
 
     c_ids = jnp.broadcast_to(
         jnp.arange(1, num_classes, dtype=jnp.int32)[None, :, None],

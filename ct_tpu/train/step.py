@@ -146,18 +146,22 @@ def make_eval_step(
     mesh: Optional[Mesh] = None,
     approx_top_k: bool = False,
     use_pallas_nms: bool = False,
+    quant: Optional[Any] = None,
 ):
     """Compiled batched inference: forward → softmax → decode → NMS → cap.
 
     The reference evaluates one image per forward (test.py:121-130); this
     path is batched end-to-end and stays on device through NMS.
+
+    ``quant``: an int8 'quant' collection (ct_tpu.models.quantize) for the
+    serving path; requires a ``fold_bn=True`` net and folded params.
     """
 
     def step(params, batch_stats, images, image_sizes):
-        preds = net.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
-            train=False,
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        preds = net.apply(variables, images, train=False)
         conf, obj = eval_scores(preds)
         return postprocess(
             preds.loc, conf, obj, priors_cs,

@@ -54,11 +54,15 @@ def parse_args(argv=None):
     parser.add_argument("--host-nms", action="store_true",
                         help="Run NMS on the host via the native C++ lib "
                              "(parity with the reference --cpu path)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 serving path: fold BN, calibrate "
+                             "activation ranges on the first test images, "
+                             "run convs on the int8 MXU (2x bf16 on v5e)")
     return parser.parse_args(argv)
 
 
 def run_inference(args, net, variables, dataset, task, priors, img_dim,
-                  logger):
+                  logger, quant=None):
     """Batched inference over the dataset → reference-format all_boxes."""
     import jax
     import jax.numpy as jnp
@@ -77,7 +81,8 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
     approx = args.approx_topk == "on" or (
         args.approx_topk == "auto" and on_tpu
     )
-    eval_step = make_eval_step(net, priors, approx_top_k=approx)
+    eval_step = make_eval_step(net, priors, approx_top_k=approx,
+                               quant=quant)
     transform = EvalTransform(img_dim, RGB_MEANS)
     num_images = len(dataset)
     num_classes = task.num_classes
@@ -268,8 +273,36 @@ def main(argv=None):
     variables = {"params": loaded["params"],
                  "batch_stats": loaded["batch_stats"]}
 
+    quant = None
+    if args.int8:
+        import dataclasses
+
+        import jax.tree_util as jtu
+
+        from ct_tpu.config import RGB_MEANS
+        from ct_tpu.data.augment import EvalTransform
+        from ct_tpu.models.fold_bn import fold_variables
+        from ct_tpu.models.quantize import calibrate, quantize_variables
+
+        net = dataclasses.replace(net, fold_bn=True)
+        variables = fold_variables(variables)
+        t = EvalTransform(img_dim, RGB_MEANS)
+        n_cal = min(len(dataset), 8)
+        cal_images = jnp.asarray(np.stack(
+            [t(dataset.pull_image(i)) for i in range(n_cal)]
+        ))
+        calib = calibrate(net, variables, [cal_images])
+        quant = quantize_variables(variables["params"], calib)
+        n_q = sum(
+            1 for path, _ in jtu.tree_leaves_with_path(quant)
+            if path and getattr(path[-1], "key", "") == "kernel_int8"
+        )
+        logger.info("int8 serving path: %d convs quantized "
+                    "(calibrated on %d images)", n_q, n_cal)
+
     all_boxes = run_inference(
-        args, net, variables, dataset, task, priors, img_dim, logger
+        args, net, variables, dataset, task, priors, img_dim, logger,
+        quant=quant,
     )
     with open(det_file, "wb") as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)

@@ -97,3 +97,73 @@ def test_augment_keeps_at_least_one_box_usually():
                             valid, out_size=64)
         kept += int(np.asarray(out["valid"]).any(axis=1).sum())
     assert kept >= 60  # ≥75% of 80 image-draws keep a box
+
+def test_device_augment_distribution_matches_host():
+    """Distribution-level equivalence with the host SSD pipeline
+    (VERDICT r1 weak #6): run many draws of the same scene through both
+    pipelines and compare the distributions of surviving-box geometry and
+    output-image statistics. The pipelines are structurally different
+    (sequential host ops vs one fused affine), so we assert summary
+    statistics, not samples."""
+    from ct_tpu.config import RGB_MEANS
+    from ct_tpu.data.augment import TrainAugment, RawCanvasTransform
+    from ct_tpu.data.augment_jax import augment_batch
+
+    rng = np.random.RandomState(0)
+    s0 = 256
+    img = np.full((s0, s0, 3), 128, np.uint8)
+    gt_px = np.asarray([
+        [40, 60, 140, 180, 3],
+        [150, 30, 230, 120, 7],
+    ], np.float64)
+    for x1, y1, x2, y2, _ in gt_px:
+        img[int(y1):int(y2), int(x1):int(x2)] = rng.randint(0, 255, 3)
+
+    # --- host pipeline draws ------------------------------------------
+    host = TrainAugment(128, RGB_MEANS, 0.6)
+    h_w, h_h, h_cx, h_cy, h_n, h_px = [], [], [], [], [], []
+    for _ in range(400):
+        im, tg = host(img.copy(), gt_px.copy())
+        tg = np.asarray(tg).reshape(-1, 5)
+        h_n.append(len(tg))
+        h_px.append(float(np.mean(im)))
+        for b in tg:
+            h_w.append(b[2] - b[0]); h_h.append(b[3] - b[1])
+            h_cx.append((b[0] + b[2]) / 2); h_cy.append((b[1] + b[3]) / 2)
+
+    # --- device pipeline draws ----------------------------------------
+    canvas = RawCanvasTransform(192)
+    cimg, ctg = canvas(img.copy(), gt_px.copy())
+    b = 64
+    images = jnp.asarray(np.repeat(cimg[None], b, axis=0))
+    boxes = jnp.asarray(np.repeat(ctg[None, :, :4], b, axis=0))
+    labels = jnp.asarray(np.repeat(ctg[None, :, 4], b, axis=0))
+    valid = jnp.ones((b, ctg.shape[0]), bool)
+    d_w, d_h, d_cx, d_cy, d_n, d_px = [], [], [], [], [], []
+    for i in range(6):
+        out = augment_batch(jax.random.PRNGKey(i), images, boxes, labels,
+                            valid, out_size=128)
+        ob = np.asarray(out["boxes"]); ov = np.asarray(out["valid"])
+        d_px.extend(np.mean(np.asarray(out["image"]), axis=(1, 2, 3)))
+        for bi in range(b):
+            rows = ob[bi][ov[bi]]
+            d_n.append(len(rows))
+            for r in rows:
+                d_w.append(r[2] - r[0]); d_h.append(r[3] - r[1])
+                d_cx.append((r[0] + r[2]) / 2); d_cy.append((r[1] + r[3]) / 2)
+
+    def close(a, b_, tol, name):
+        assert abs(np.mean(a) - np.mean(b_)) < tol, (
+            name, np.mean(a), np.mean(b_))
+
+    # survival rate and box-geometry means agree at distribution level
+    close(h_n, d_n, 0.25, "boxes per draw")
+    close(h_w, d_w, 0.06, "box width")
+    close(h_h, d_h, 0.06, "box height")
+    close(h_cx, d_cx, 0.06, "box cx")
+    close(h_cy, d_cy, 0.06, "box cy")
+    # spread too (crop/expand aggressiveness)
+    assert abs(np.std(h_w) - np.std(d_w)) < 0.06, (np.std(h_w), np.std(d_w))
+    assert abs(np.std(h_cx) - np.std(d_cx)) < 0.06
+    # mean-subtracted output pixel statistics
+    close(h_px, d_px, 8.0, "mean pixel")

@@ -1,6 +1,7 @@
 """NMS + detection post-processing parity vs the reference eval flow."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -139,8 +140,51 @@ def test_postprocess_end_to_end_shapes():
         image_sizes=jnp.asarray([[480, 640], [300, 300]]),
         top_k=50, max_per_image=20,
     )
-    assert dets.boxes.shape == (b, (c) * 50, 4)  # (C+1-1) classes × top_k
+    assert dets.boxes.shape == (b, 20 + 32, 4)  # max_per_image + tie slack
     assert int(dets.valid.sum(axis=1).max()) <= 20 + 5  # cap (+ score ties)
     # valid detections are score-sorted
     s0 = np.asarray(dets.scores[0][np.asarray(dets.valid[0])])
     assert (np.diff(s0) <= 1e-6).all()
+
+
+def test_grouped_topk_recall_and_peaky_exactness():
+    from ct_tpu.ops.nms import grouped_topk
+
+    rng = np.random.RandomState(0)
+    # uniform scores: recall of the true top-200 must stay high
+    x = jnp.asarray(rng.rand(8, 11620).astype(np.float32))
+    tv, ti = grouped_topk(x, 200)
+    ev, ei = jax.lax.top_k(x, 200)
+    recalls = [
+        len(set(np.asarray(ti[b]).tolist())
+            & set(np.asarray(ei[b]).tolist())) / 200
+        for b in range(8)
+    ]
+    assert min(recalls) > 0.9, recalls
+    # returned values are sorted desc and consistent with indices
+    tv0 = np.asarray(tv[0])
+    assert (np.diff(tv0) <= 1e-7).all()
+    np.testing.assert_allclose(np.asarray(x[0])[np.asarray(ti[0])], tv0)
+
+    # peaky (trained-model-like) distribution: a few dozen strong spikes
+    # over background noise — every spike must be recovered, with exact
+    # scores, anywhere in the candidate list
+    y = rng.rand(4, 11620).astype(np.float32) * 1e-3
+    spike_sets = []
+    for b in range(4):
+        spikes = rng.choice(11620, 30, replace=False)
+        y[b, spikes] = 0.5 + rng.rand(30) * 0.5
+        spike_sets.append(set(spikes.tolist()))
+    y = jnp.asarray(y)
+    tv, ti = grouped_topk(y, 200)
+    ev, ev_i = jax.lax.top_k(y, 200)
+    for b in range(4):
+        assert spike_sets[b] <= set(np.asarray(ti[b]).tolist())
+        np.testing.assert_allclose(np.asarray(tv[b])[:30],
+                                   np.asarray(ev[b])[:30])
+
+    # tiny axis falls back to exact
+    z = jnp.asarray(rng.rand(5, 64).astype(np.float32))
+    tv, ti = grouped_topk(z, 32)
+    ev, ei = jax.lax.top_k(z, 32)
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(ev))
