@@ -49,24 +49,32 @@ class Loader:
     # -- lifecycle ---------------------------------------------------------
 
     def _start(self):
-        self._stop = threading.Event()
-        self._index_q: queue.Queue = queue.Queue(
+        # Each generation gets its own stop event + queues, and the worker
+        # threads capture THEM (not self attributes): a worker that is
+        # still blocked inside ``dataset[idx]`` across a restart() can only
+        # ever touch its own generation's (stopped, drained) objects —
+        # stale samples cannot leak into the new generation.
+        self._stop = stop = threading.Event()
+        self._index_q = index_q = queue.Queue(
             maxsize=self.batch_size * (self.prefetch + 1)
         )
-        self._sample_q: queue.Queue = queue.Queue(
+        self._sample_q = sample_q = queue.Queue(
             maxsize=self.batch_size * (self.prefetch + 1)
         )
-        self._batch_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        self._batch_q = batch_q = queue.Queue(maxsize=self.prefetch)
         self._threads = []
 
-        t = threading.Thread(target=self._feed_indices, daemon=True)
+        t = threading.Thread(target=self._feed_indices,
+                             args=(stop, index_q), daemon=True)
         t.start()
         self._threads.append(t)
         for _ in range(self.num_workers):
-            t = threading.Thread(target=self._work, daemon=True)
+            t = threading.Thread(target=self._work,
+                                 args=(stop, index_q, sample_q), daemon=True)
             t.start()
             self._threads.append(t)
-        t = threading.Thread(target=self._assemble, daemon=True)
+        t = threading.Thread(target=self._assemble,
+                             args=(stop, sample_q, batch_q), daemon=True)
         t.start()
         self._threads.append(t)
 
@@ -89,7 +97,7 @@ class Loader:
 
     # -- pipeline stages ---------------------------------------------------
 
-    def _feed_indices(self):
+    def _feed_indices(self, stop, index_q):
         sampler = TrainingSampler(
             len(self.dataset), shuffle=self.shuffle,
             seed=None if self.seed is None
@@ -97,37 +105,37 @@ class Loader:
         )
         seq = 0
         for idx in sampler:
-            if self._stop.is_set():
+            if stop.is_set():
                 return
-            while not self._stop.is_set():
+            while not stop.is_set():
                 try:
-                    self._index_q.put((seq, idx), timeout=0.2)
+                    index_q.put((seq, idx), timeout=0.2)
                     break
                 except queue.Full:
                     continue
             seq += 1
 
-    def _work(self):
-        while not self._stop.is_set():
+    def _work(self, stop, index_q, sample_q):
+        while not stop.is_set():
             try:
-                seq, idx = self._index_q.get(timeout=0.2)
+                seq, idx = index_q.get(timeout=0.2)
             except queue.Empty:
                 continue
             sample = self.dataset[idx]
-            while not self._stop.is_set():
+            while not stop.is_set():
                 try:
-                    self._sample_q.put((seq, sample), timeout=0.2)
+                    sample_q.put((seq, sample), timeout=0.2)
                     break
                 except queue.Full:
                     continue
 
-    def _assemble(self):
+    def _assemble(self, stop, sample_q, batch_q):
         pending: Dict[int, tuple] = {}
         next_seq = 0
         buf = []
-        while not self._stop.is_set():
+        while not stop.is_set():
             try:
-                seq, sample = self._sample_q.get(timeout=0.2)
+                seq, sample = sample_q.get(timeout=0.2)
             except queue.Empty:
                 continue
             pending[seq] = sample
@@ -138,9 +146,9 @@ class Loader:
                 if len(buf) == self.batch_size:
                     batch = self._collate(buf)
                     buf = []
-                    while not self._stop.is_set():
+                    while not stop.is_set():
                         try:
-                            self._batch_q.put(batch, timeout=0.2)
+                            batch_q.put(batch, timeout=0.2)
                             break
                         except queue.Full:
                             continue

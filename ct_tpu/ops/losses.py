@@ -35,11 +35,20 @@ def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _ce_from_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Per-element cross entropy: logsumexp(logits) - logits[label]."""
+    """Per-element cross entropy: logsumexp(logits) - logits[label].
+
+    The label pick is an iota-compare reduction, not take_along_axis: TPU
+    gathers (and the scatters in their backward) are ~100x slower than the
+    fused compare+select+reduce (profiled 18 ms/step at batch 64).
+    """
     lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(
-        logits, labels[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    classes = jax.lax.broadcasted_iota(jnp.int32, logits.shape,
+                                       logits.ndim - 1)
+    picked = jnp.sum(
+        jnp.where(classes == labels[..., None].astype(jnp.int32),
+                  logits, 0.0),
+        axis=-1,
+    )
     return lse - picked
 
 

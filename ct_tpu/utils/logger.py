@@ -1,8 +1,12 @@
 """Console + file logging.
 
 Capability parity with ``setup_logger`` (/root/reference/utils/
-logger.py:33-89): stdout logging plus a persistent ``log.txt`` in the
-output folder, and the rate-limited helpers (:127-193).
+logger.py:33-89): colored stdout logging (WARNING/ERROR highlighted when
+the stream is a tty, like the reference's colored formatter), a persistent
+``log.txt`` in the output folder — suffixed ``.rank{N}`` on non-zero hosts
+of a multi-process run, with console output on rank 0 only (reference
+``distributed_rank`` semantics, logger.py:44-56) — and the rate-limited
+helpers (:127-193).
 """
 
 from __future__ import annotations
@@ -16,11 +20,37 @@ from collections import Counter
 _LOG_COUNTER: Counter = Counter()
 _LOG_TIMER: dict = {}
 
+_RED = "\x1b[31;1m"
+_YELLOW = "\x1b[33;1m"
+_RESET = "\x1b[0m"
+
+
+class _ColorFormatter(logging.Formatter):
+    """Highlight WARNING/ERROR like the reference's colored console."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        out = super().format(record)
+        if record.levelno >= logging.ERROR:
+            return _RED + out + _RESET
+        if record.levelno >= logging.WARNING:
+            return _YELLOW + out + _RESET
+        return out
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
 
 def setup_logger(
     output: str | None = None,
     name: str = "ct_tpu",
     level: int = logging.INFO,
+    distributed_rank: int | None = None,
 ) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(level)
@@ -28,18 +58,27 @@ def setup_logger(
     if logger.handlers:
         return logger
 
-    fmt = logging.Formatter(
+    rank = (_process_index() if distributed_rank is None
+            else distributed_rank)
+    plain = logging.Formatter(
         "[%(asctime)s %(name)s %(levelname)s] %(message)s",
         datefmt="%m/%d %H:%M:%S",
     )
-    sh = logging.StreamHandler(stream=sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if rank == 0:
+        # console on the primary process only (reference logger.py:44-56)
+        sh = logging.StreamHandler(stream=sys.stdout)
+        use_color = hasattr(sys.stdout, "isatty") and sys.stdout.isatty()
+        sh.setFormatter(
+            _ColorFormatter(plain._fmt, datefmt="%m/%d %H:%M:%S")
+            if use_color else plain
+        )
+        logger.addHandler(sh)
 
     if output:
         os.makedirs(output, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(output, "log.txt"))
-        fh.setFormatter(fmt)
+        fname = "log.txt" if rank == 0 else f"log.txt.rank{rank}"
+        fh = logging.FileHandler(os.path.join(output, fname))
+        fh.setFormatter(plain)
         logger.addHandler(fh)
     return logger
 

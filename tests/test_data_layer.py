@@ -202,3 +202,41 @@ def test_cocoeval_perfect_and_empty():
     stats_s = ev.evaluate(shifted)
     assert 0.0 < stats_s["AP"] < 1.0
     os.unlink(path)
+
+
+def test_loader_restart_isolates_generations(devkit):
+    """A worker still blocked in dataset[idx] across restart() must not
+    leak its stale sample into the new generation (its thread holds the
+    OLD generation's stop/queues only)."""
+    import time
+
+    ds = VOCDetection(devkit, [("2007", "trainval")], None,
+                      AnnotationTransform(0), test=True)
+
+    class Slow:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            time.sleep(0.05)  # keeps workers inside getitem at restart
+            _, anno = ds.pull_anno(i)
+            img = ds.pull_image(i)
+            h, w = img.shape[:2]
+            t = anno.copy()
+            t[:, 0::2] /= w
+            t[:, 1::2] /= h
+            t = np.hstack([t, np.ones((len(t), 1))])
+            return np.full((8, 8, 3), i, np.float32), t
+
+    l1 = Loader(Slow(), 4, num_workers=3, max_objs=8, seed=0)
+    l1.next()
+    l1.restart()            # generation 1 → sampler seed 0+1
+
+    # a fresh loader with seed 1 replays exactly generation 1's stream
+    ref = Loader(Slow(), 4, num_workers=1, max_objs=8, seed=1)
+    for _ in range(3):
+        b1, b2 = l1.next(), ref.next()
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(b1["labels"], b2["labels"])
+    l1.stop()
+    ref.stop()

@@ -311,3 +311,35 @@ def test_sampler_infinite_shuffled():
     s2 = TrainingSampler(10, seed=0)
     it2 = batch_iterator(s2, 4)
     assert [next(it2) for _ in range(6)] == seen
+
+
+def test_orbax_checkpointer_roundtrip(tmp_path):
+    """Async orbax backend: save → wait → resume restores params,
+    optimizer state (typed tree) and iteration."""
+    import optax
+
+    from ct_tpu.train.orbax_ckpt import OrbaxCheckpointer
+
+    params = {"loc_0": {"kernel": np.arange(6, dtype=np.float32)
+                        .reshape(2, 3)}}
+    stats = {"Norm": {"bn": {"mean": np.ones(3, np.float32)}}}
+    tx = optax.sgd(1e-2, momentum=0.9)
+    opt = tx.init(params)
+
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    ck.save("model_0000009", params, stats, opt, iteration=9)
+    ck.wait()
+    assert ck.has_checkpoint()
+    ck.close()
+
+    ck2 = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    init_p = jax.tree_util.tree_map(np.zeros_like, params)
+    init_s = jax.tree_util.tree_map(np.zeros_like, stats)
+    out = ck2.resume(init_p, init_s, tx.init(init_p))
+    np.testing.assert_array_equal(out["params"]["loc_0"]["kernel"],
+                                  params["loc_0"]["kernel"])
+    np.testing.assert_array_equal(out["batch_stats"]["Norm"]["bn"]["mean"],
+                                  stats["Norm"]["bn"]["mean"])
+    assert out["iteration"] == 9
+    assert isinstance(out["opt_state"], type(opt))
+    ck2.close()

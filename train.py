@@ -74,6 +74,10 @@ def parse_args(argv=None):
                         help="Fused Pallas CT attention (auto = on TPU)")
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of steps 10-15")
+    parser.add_argument("--orbax", action="store_true",
+                        help="Checkpoint via orbax (multi-host, async "
+                             "background saves) instead of the msgpack "
+                             "writer; .pth interop still works for loads")
     parser.add_argument("--device-augment", action="store_true",
                         help="Run SSD augmentation batched on device "
                              "(host only decodes+resizes; no dataset-level "
@@ -181,25 +185,41 @@ def main(argv=None):
 
     ck = Checkpointer(args.save_folder)
     load_path = args.basenet if args.phase == 1 else args.load_file
-    loaded = ck.resume_or_load(
-        load_path, state.params, state.batch_stats, resume=args.resume,
-        load_optimizer=args.phase == 1,
-    )
-    start_iter = loaded["iteration"] + 1
-    if loaded["opt_state"] is not None:
-        from flax import serialization
+    orbax_ck = None
+    if args.orbax:
+        from ct_tpu.train.orbax_ckpt import OrbaxCheckpointer
 
-        opt_state = serialization.from_state_dict(
-            tx.init(loaded["params"]), loaded["opt_state"]
+        orbax_ck = OrbaxCheckpointer(
+            os.path.join(args.save_folder, "orbax")
         )
+    if (orbax_ck is not None and args.resume
+            and orbax_ck.has_checkpoint() and args.phase == 1):
+        loaded = orbax_ck.resume(
+            state.params, state.batch_stats, tx.init(state.params)
+        )
+        opt_state = loaded["opt_state"]
+        start_iter = loaded["iteration"] + 1
     else:
-        opt_state = tx.init(loaded["params"])
+        loaded = ck.resume_or_load(
+            load_path, state.params, state.batch_stats, resume=args.resume,
+            load_optimizer=args.phase == 1,
+        )
+        start_iter = loaded["iteration"] + 1
+        if loaded["opt_state"] is not None:
+            from flax import serialization
+
+            opt_state = serialization.from_state_dict(
+                tx.init(loaded["params"]), loaded["opt_state"]
+            )
+        else:
+            opt_state = tx.init(loaded["params"])
     state = TrainState(loaded["params"], loaded["batch_stats"], opt_state,
                        jnp.asarray(start_iter, jnp.int32))
 
     step_fn = make_train_step(net, priors, task, tx,
                               OVERLAP_THRESHOLD, mesh=mesh)
-    periodic = PeriodicCheckpointer(ck, args.checkpoint_period, args.max_iter)
+    periodic = PeriodicCheckpointer(orbax_ck if orbax_ck is not None else ck,
+                                    args.checkpoint_period, args.max_iter)
     schedule = warmup_multistep_schedule(solver_cfg)
 
     loader = Loader(dataset, args.batch_size, num_workers=args.num_workers,
@@ -299,6 +319,8 @@ def main(argv=None):
             ),
         )
     flush_metrics()
+    if orbax_ck is not None:
+        orbax_ck.wait()   # drain async saves before exiting
     loader.stop()
 
 
