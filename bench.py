@@ -135,7 +135,13 @@ def main():
     except Exception as e:  # pragma: no cover - defensive
         quant = None
         log(f"int8 path unavailable ({e!r}); serving bf16")
+    # serving NMS knobs: grouped approx selection + per-class candidate cap
+    # 128 (the reference has no pre-NMS cap; these prune only the
+    # near-threshold junk tail — fixture mAP is identical to the exact
+    # K=200 config at 0.0234, docs/PARITY.md; `test.py` defaults stay
+    # exact/200 for parity runs)
     eval_step = make_eval_step(net, priors, approx_top_k=on_tpu,
+                               top_k=128 if on_tpu else 200,
                                quant=quant)
 
     log(f"compiling ({mode} serving path)…")

@@ -54,6 +54,11 @@ def parse_args(argv=None):
     parser.add_argument("--host-nms", action="store_true",
                         help="Run NMS on the host via the native C++ lib "
                              "(parity with the reference --cpu path)")
+    parser.add_argument("--top-k", type=int, default=200,
+                        help="Per-class NMS candidate cap (the reference "
+                             "has no pre-NMS cap; 200 matches its post-NMS "
+                             "per-image budget, lower trades a little "
+                             "fidelity for speed)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving path: fold BN, calibrate "
                              "activation ranges on the first test images, "
@@ -82,7 +87,7 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
         args.approx_topk == "auto" and on_tpu
     )
     eval_step = make_eval_step(net, priors, approx_top_k=approx,
-                               quant=quant)
+                               top_k=args.top_k, quant=quant)
     transform = EvalTransform(img_dim, RGB_MEANS)
     num_images = len(dataset)
     num_classes = task.num_classes
