@@ -66,12 +66,23 @@ def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
+def _fit_block_q(block_q: int, kk: int) -> int:
+    """Shrink the query block so the f32 [bq, K] affinity (+exp) buffers fit
+    the ~16 MB VMEM scoped limit. K=1858 (@300) keeps bq=1024; K=4964
+    (@512) drops to bq=256 — without this the kernel fails to compile at
+    512 resolution."""
+    while block_q > 128 and block_q * kk * 8 > 15_500_000:
+        block_q //= 2
+    return block_q
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ct_attention(q, k, v, base, wz, block_q: int = 1024,
                  interpret: bool = False):
     """Fused attention; differentiable (backward recomputes via XLA)."""
     b, p, c = q.shape
     kk = k.shape[1]
+    block_q = _fit_block_q(block_q, kk)
     qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
@@ -170,6 +181,7 @@ def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 256,
     """→ (dq, dk, dv, dwz) via the blockwise Pallas backward."""
     b, p, c = q.shape
     kk = k.shape[1]
+    block_q = _fit_block_q(block_q, kk)
     qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
