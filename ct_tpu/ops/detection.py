@@ -50,6 +50,7 @@ def postprocess(
     max_per_image: int = 200,
     approx_top_k: bool = False,
     use_pallas: bool = False,
+    pool_size: int = 0,
 ) -> Detections:
     """Full eval-path post-processing for a batch, on device.
 
@@ -77,4 +78,5 @@ def postprocess(
         pixel_offset=pixel_offset,
         approx_top_k=approx_top_k,
         use_pallas=use_pallas,
+        pool_size=pool_size,
     )

@@ -146,7 +146,7 @@ class Detections(NamedTuple):
     jax.jit,
     static_argnames=(
         "score_threshold", "iou_threshold", "top_k", "max_per_image",
-        "pixel_offset", "approx_top_k", "use_pallas",
+        "pixel_offset", "approx_top_k", "use_pallas", "pool_size",
     ),
 )
 def batched_nms(
@@ -159,6 +159,7 @@ def batched_nms(
     pixel_offset: float = 1.0,
     approx_top_k: bool = False,
     use_pallas: bool = False,
+    pool_size: int = 0,
 ) -> Detections:
     """Per-class NMS + per-image score cap, fully batched, static shapes.
 
@@ -172,6 +173,16 @@ def batched_nms(
     final candidates exactly sorted) — ~10x faster than the full sort both
     ``lax.top_k`` and ``lax.approx_max_k`` lower to on the current TPU
     toolchain. Keep exact for parity runs.
+
+    ``pool_size`` (serving): first restrict each image to its ``pool_size``
+    highest-max-class-score priors with ONE small row gather, then run all
+    per-class work inside the pool — per-class candidate boxes come from a
+    one-hot contraction on the MXU instead of the [B, C·K]-row gather of
+    the exact path ([B,C,K]-row gathers of 4-float rows are latency-bound
+    on TPU; profiled at 6.5 ms/batch-128). Boxes are shared across classes
+    (SSD decodes one box per prior), so pooling loses a candidate only when
+    an image has > ``pool_size`` priors above threshold in *some* class
+    that are all outranked on their own max class. 0 = exact path.
     """
     num_classes = scores.shape[-1]
     batch = boxes.shape[0]
@@ -185,10 +196,38 @@ def batched_nms(
             top_s, top_i = jax.lax.top_k(s, top_k)
         return img_boxes[top_i], top_s
 
-    fg = jnp.moveaxis(scores[:, :, 1:], -1, 1)               # [B, C-1, P]
-    cb, cs = jax.vmap(jax.vmap(select, in_axes=(0, None)))(
-        fg, boxes
-    )                                        # [B, C-1, K, 4], [B, C-1, K]
+    if pool_size:
+        m = min(pool_size, boxes.shape[1])
+        fg_scores = scores[:, :, 1:]                         # [B, P, C-1]
+        best = jnp.max(fg_scores, axis=-1)                   # [B, P]
+        best = jnp.where(best > score_threshold, best, -jnp.inf)
+        _, pool_i = grouped_topk(best, m)                    # [B, M]
+        # one combined row gather (boxes ‖ scores) per pooled prior
+        payload = jnp.concatenate([boxes, fg_scores], axis=-1)
+        pooled = jnp.take_along_axis(payload, pool_i[..., None], axis=1)
+        pool_boxes = pooled[..., :4]                         # [B, M, 4]
+        pool_fg = jnp.moveaxis(pooled[..., 4:], -1, 1)       # [B, C-1, M]
+        s = jnp.where(pool_fg > score_threshold, pool_fg, -jnp.inf)
+        k = min(top_k, m)
+        cs, top_i = jax.lax.top_k(s, k)                      # [B, C-1, K]
+        # candidate boxes via one-hot contraction over the pool (MXU work,
+        # no per-class gathers)
+        onehot = (
+            top_i[..., None]
+            == jnp.arange(m, dtype=jnp.int32)[None, None, None, :]
+        ).astype(pool_boxes.dtype)                           # [B, C-1, K, M]
+        cb = jnp.einsum("bckm,bmf->bckf", onehot, pool_boxes,
+                        preferred_element_type=jnp.float32)
+        if k < top_k:  # tiny-P tests: keep the output shape contract
+            pad = top_k - k
+            cb = jnp.pad(cb, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            cs = jnp.pad(cs, ((0, 0), (0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+    else:
+        fg = jnp.moveaxis(scores[:, :, 1:], -1, 1)           # [B, C-1, P]
+        cb, cs = jax.vmap(jax.vmap(select, in_axes=(0, None)))(
+            fg, boxes
+        )                                    # [B, C-1, K, 4], [B, C-1, K]
     cand_valid = jnp.isfinite(cs)
 
     if use_pallas:

@@ -33,13 +33,19 @@ def make_accumulate_step(
     match_threshold: float = 0.5,
 ):
     """Jitted: one batch → (per-class summed normalized embeddings [C, D],
-    per-class positive counts [C])."""
+    per-class positive counts [C], updated batch_stats).
+
+    The forward runs in TRAIN mode: the reference calls
+    ``model(data, init=True)`` while ``model.train()`` is active
+    (/root/reference/train.py:263 inside ``train()``), so BatchNorm
+    normalizes with batch statistics and updates its running averages
+    (momentum 0.01) — both effects are reproduced here."""
 
     @jax.jit
     def step(params, batch_stats, batch):
-        preds = net.apply(
+        preds, mutated = net.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=False,
+            batch["image"], train=True, mutable=["batch_stats"],
         )
         matched = match_batch(
             batch["boxes"], batch["labels"], batch["weights"],
@@ -54,7 +60,7 @@ def make_accumulate_step(
         ) * (matched.cls_t > 0)[..., None]
         sums = jnp.einsum("bpc,bpd->cd", onehot, unit)
         counts = jnp.sum(onehot, axis=(0, 1))
-        return sums, counts
+        return sums, counts, mutated["batch_stats"]
 
     return step
 
@@ -82,10 +88,11 @@ def init_reweight(
     d = task.src_cls_dim
     sums = jnp.zeros((num_classes_total, d))
     counts = jnp.zeros((num_classes_total,))
+    batch_stats = state.batch_stats
     for _ in range(args.init_iter):
         batch = loader.next()
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        s, c = step(state.params, state.batch_stats, batch)
+        s, c, batch_stats = step(state.params, batch_stats, batch)
         sums = sums + s
         counts = counts + c
 
@@ -99,4 +106,4 @@ def init_reweight(
     assert params["OBJ_Target"].shape == prototypes.shape, (
         params["OBJ_Target"].shape, prototypes.shape)
     params["OBJ_Target"] = jnp.asarray(prototypes, dtype=jnp.float32)
-    return TrainState(params, state.batch_stats, state.opt_state, state.step)
+    return TrainState(params, batch_stats, state.opt_state, state.step)

@@ -147,6 +147,7 @@ def make_eval_step(
     approx_top_k: bool = False,
     use_pallas_nms: bool = False,
     quant: Optional[Any] = None,
+    pool_size: int = 0,
 ):
     """Compiled batched inference: forward → softmax → decode → NMS → cap.
 
@@ -172,6 +173,7 @@ def make_eval_step(
             max_per_image=max_per_image,
             approx_top_k=approx_top_k,
             use_pallas=use_pallas_nms,
+            pool_size=pool_size,
         )
 
     if mesh is None:

@@ -188,3 +188,59 @@ def test_grouped_topk_recall_and_peaky_exactness():
     tv, ti = grouped_topk(z, 32)
     ev, ei = jax.lax.top_k(z, 32)
     np.testing.assert_allclose(np.asarray(tv), np.asarray(ev))
+
+
+def test_pooled_path_matches_exact_with_full_pool():
+    """pool_size = P makes the pooled (serving) path a reordering of the
+    exact path — detections must agree det-for-det."""
+    rng = np.random.RandomState(7)
+    p, c = 400, 6
+    boxes = random_dets(rng, p)[:, :4]
+    raw = rng.uniform(0, 1, size=(p, c)).astype(np.float32) ** 4
+
+    kw = dict(top_k=64, max_per_image=50, pixel_offset=1.0)
+    exact = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(raw)[None],
+                        **kw)
+    pooled = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(raw)[None],
+                         pool_size=p, **kw)
+
+    def rows(d):
+        m = np.asarray(d.valid[0])
+        r = np.hstack([
+            np.asarray(d.boxes[0])[m],
+            np.asarray(d.classes[0])[m, None].astype(np.float32),
+            np.asarray(d.scores[0])[m, None],
+        ])
+        return r[np.lexsort((r[:, -1], r[:, -2]))]
+
+    np.testing.assert_allclose(rows(pooled), rows(exact), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_pooled_path_recovers_strong_detections_small_pool():
+    """A realistic (peaky) score field: a small pool must keep every
+    strong detection (the pool loses only the sub-threshold tail)."""
+    rng = np.random.RandomState(8)
+    p, c = 2000, 6
+    boxes = random_dets(rng, p)[:, :4]
+    raw = np.full((p, c), 1e-4, np.float32)
+    # 30 strong detections scattered over classes
+    strong = rng.choice(p, 30, replace=False)
+    for i, pr in enumerate(strong):
+        raw[pr, 1 + i % (c - 1)] = 0.5 + 0.4 * rng.rand()
+
+    kw = dict(top_k=64, max_per_image=50, pixel_offset=1.0)
+    exact = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(raw)[None],
+                        **kw)
+    pooled = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(raw)[None],
+                         pool_size=128, **kw)
+
+    def keyset(d, thresh=0.1):
+        m = np.asarray(d.valid[0]) & (np.asarray(d.scores[0]) > thresh)
+        return {
+            (int(cl), round(float(s), 5))
+            for cl, s in zip(np.asarray(d.classes[0])[m],
+                             np.asarray(d.scores[0])[m])
+        }
+
+    assert keyset(pooled) == keyset(exact)
