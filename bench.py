@@ -80,6 +80,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from ct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ct_tpu.config import VOC_300, resolve_task
     from ct_tpu.models import build_net
     from ct_tpu.ops.priors import prior_boxes

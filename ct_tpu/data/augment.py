@@ -211,7 +211,10 @@ class RawCanvasTransform:
     """Host half of the on-device augmentation path: decode + resize to a
     fixed square working canvas (pixels stay 0..255 BGR), boxes to percent.
     The device half (``ct_tpu.data.augment_jax.augment_batch``) does all
-    randomized work batched on TPU."""
+    randomized work batched on TPU.
+
+    Canvases stay uint8: 4× less host memcpy in collate and 4× fewer
+    host→device bytes; the device pass converts to float once, batched."""
 
     def __init__(self, canvas: int):
         self.canvas = canvas
@@ -219,7 +222,7 @@ class RawCanvasTransform:
     def __call__(self, image, targets):
         h, w, _ = image.shape
         out = cv2.resize(image, (self.canvas, self.canvas),
-                         interpolation=cv2.INTER_LINEAR).astype(np.float32)
+                         interpolation=cv2.INTER_LINEAR)
         boxes = targets[:, :4].copy().astype(np.float64)
         boxes[:, 0::2] /= w
         boxes[:, 1::2] /= h

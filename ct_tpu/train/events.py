@@ -107,11 +107,28 @@ class JSONWriter:
 
 
 class CommonMetricPrinter:
-    """Terminal printer: eta, losses (smoothed), lr, step time."""
+    """Terminal printer: eta, losses (smoothed), lr, step time, max_mem.
+
+    ``max_mem`` reports peak device memory like the reference's printer
+    (/root/reference/utils/event.py:180-182, torch.cuda.max_memory_allocated)
+    via the JAX device ``memory_stats()`` peak counter where the backend
+    provides one (TPU does; CPU returns nothing and the field is omitted).
+    """
 
     def __init__(self, max_iter: int):
         self._max_iter = max_iter
         self._last = None  # (iter, time)
+
+    @staticmethod
+    def _max_mem_mb():
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            return peak / (1024.0 * 1024.0) if peak else None
+        except Exception:  # pragma: no cover - backend-dependent
+            return None
 
     def write(self, storage: EventStorage):
         it = storage.iter
@@ -133,7 +150,9 @@ class CommonMetricPrinter:
         lr_s = f"  lr: {lr:.6g}" if lr is not None else ""
         t = metrics.get("time")
         t_s = f"  time: {t:.4f}" if t is not None else ""
-        logger.info(f"{eta}iter: {it}  {losses}{lr_s}{t_s}")
+        mem = self._max_mem_mb()
+        mem_s = f"  max_mem: {mem:.0f}M" if mem is not None else ""
+        logger.info(f"{eta}iter: {it}  {losses}{lr_s}{t_s}{mem_s}")
 
 
 class TensorboardWriter:

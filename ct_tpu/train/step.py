@@ -58,14 +58,30 @@ def make_train_step(
     tx: optax.GradientTransformation,
     match_threshold: float = 0.5,
     mesh: Optional[Mesh] = None,
+    accum_steps: int = 1,
 ):
     """Build the compiled train step.
 
     batch: dict with 'image' [B,H,W,3] and padded targets 'boxes' [B,M,4],
     'labels' [B,M], 'weights' [B,M], 'valid' [B,M].
+
+    ``accum_steps > 1``: gradient accumulation — the batch is split into
+    ``accum_steps`` micro-batches scanned sequentially; per-micro gradients
+    of the UN-normalized loss sums accumulate, and the division by the
+    global positive count N happens once at the end, so the result equals
+    the single-big-batch gradient exactly *except* that BatchNorm
+    normalizes per micro-batch (statistics over B/accum images — the same
+    kind of divergence the reference's per-GPU BN under DataParallel has,
+    /root/reference/train.py:296-297). Enables training the 512 model at
+    the reference's effective batch 64 on one chip.
     """
 
-    def loss_fn(params, batch_stats, batch, axis_name):
+    def sums_fn(params, batch_stats, batch):
+        """→ (Σ loss-sums, (per-key sums, positive count N, new stats)).
+
+        Gradients of the raw sums accumulate linearly across micro-batches;
+        normalization by the global N is deferred to the caller.
+        """
         preds, mutated = net.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"],
@@ -78,30 +94,57 @@ def make_train_step(
         )
         sums, n = multibox_loss_sums(preds.loc, preds.conf, preds.obj,
                                      matched)
-        if axis_name is not None:
-            # global normalizer; no grad path through n (counts only), so
-            # the only collective in the backward is the grads psum below
-            n = jax.lax.psum(n, axis_name)
-        n = jnp.maximum(n, 1.0)
-        local_losses = {k: v / n for k, v in sums.items()}
-        total = (local_losses["loss_box_reg"] + local_losses["loss_cls"]
-                 + local_losses["loss_obj"])
-        return total, (local_losses, mutated["batch_stats"])
+        total = sums["loss_box_reg"] + sums["loss_cls"] + sums["loss_obj"]
+        return total, (sums, n, mutated["batch_stats"])
+
+    grad_fn = jax.value_and_grad(sums_fn, has_aux=True)
+
+    def accumulate(params, batch_stats, batch):
+        """→ (grad-of-sums, per-key sums, N, new stats)."""
+        if accum_steps == 1:
+            (_, (sums, n, stats)), grads = grad_fn(params, batch_stats,
+                                                   batch)
+            return grads, sums, n, stats
+
+        micro = {
+            k: v.reshape((accum_steps, v.shape[0] // accum_steps)
+                         + v.shape[1:])
+            for k, v in batch.items()
+        }
+
+        def body(carry, mb):
+            g_acc, s_acc, n_acc, stats = carry
+            (_, (sums, n, stats)), grads = grad_fn(params, stats, mb)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            s_acc = {k: s_acc[k] + sums[k] for k in s_acc}
+            return (g_acc, s_acc, n_acc + n, stats), None
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zeros_s = {k: jnp.zeros(()) for k in
+                   ("loss_box_reg", "loss_cls", "loss_obj")}
+        (grads, sums, n, stats), _ = jax.lax.scan(
+            body, (zeros_g, zeros_s, jnp.zeros(()), batch_stats), micro
+        )
+        return grads, sums, n, stats
 
     def step_body(state: TrainState, batch, axis_name=None):
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, axis_name)
+        grads, sums, n, new_stats = accumulate(
+            state.params, state.batch_stats, batch
+        )
         if axis_name is not None:
-            # each shard holds d(global_loss)/dθ restricted to its local
-            # batch terms; one psum over the data axis (ICI) completes it
+            # global normalizer N and gradient both complete with one psum
+            # each over the data axis (ICI)
+            n = jax.lax.psum(n, axis_name)
             grads = jax.lax.psum(grads, axis_name)
-            # metrics: shards hold local_sums/global_N → psum = global loss
-            losses = jax.lax.psum(losses, axis_name)
-            total = jax.lax.psum(total, axis_name)
+            sums = jax.lax.psum(sums, axis_name)
             # running BN stats are per-shard (the reference's per-GPU BN);
             # average them so the replicated state stays consistent
             new_stats = jax.lax.pmean(new_stats, axis_name)
+        n = jnp.maximum(n, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+        losses = {k: v / n for k, v in sums.items()}
+        total = (losses["loss_box_reg"] + losses["loss_cls"]
+                 + losses["loss_obj"])
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if task.has_ct_head:
@@ -203,8 +246,11 @@ def init_train_state(
     """Fresh model + optimizer state. ``tx=None`` defers optimizer init
     (useful when the optimizer itself needs the param tree to build its
     per-group LR multipliers)."""
-    variables = net.init(
-        rng, jnp.zeros((batch_size, image_size, image_size, 3)), train=False
+    # jitted: an eager ``net.init`` executes the whole forward op-by-op —
+    # on a remote-tunnel TPU backend that is hundreds of per-op compiles
+    # and RPCs (measured ≈4.5 min for RFBNet300) vs one compile here
+    variables = jax.jit(functools.partial(net.init, train=False))(
+        rng, jnp.zeros((batch_size, image_size, image_size, 3))
     )
     params = variables["params"]
     return TrainState(

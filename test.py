@@ -61,9 +61,58 @@ def parse_args(argv=None):
                              "fidelity for speed)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving path: fold BN, calibrate "
-                             "activation ranges on the first test images, "
+                             "activation ranges on train-split images, "
                              "run convs on the int8 MXU (2x bf16 on v5e)")
+    parser.add_argument("--calib-images", type=int, default=8,
+                        help="Number of train-split images used for int8 "
+                             "activation-range calibration")
     return parser.parse_args(argv)
+
+
+def calibration_images(args, img_dim, n, logger):
+    """→ [n, S, S, 3] train-split images for int8 range calibration.
+
+    Calibration must be test-set-free: ranges come from the *training*
+    distribution (the reference has no quantized path; this follows
+    standard PTQ practice). Falls back to zeros-mean noise images if the
+    train split is unavailable on disk (never the test set).
+    """
+    import numpy as np
+
+    from ct_tpu.config import RGB_MEANS
+    from ct_tpu.data.augment import EvalTransform
+    from ct_tpu.data.coco import COCODetection
+    from ct_tpu.data.voc import AnnotationTransform, VOCDetection
+
+    t = EvalTransform(img_dim, RGB_MEANS)
+    try:
+        if args.dataset == "VOC":
+            if args.phase == 2 and args.setting == "incre":
+                train_sets = [("2007", "trainval")]
+            else:
+                train_sets = [("2007", "trainval"), ("2012", "trainval")]
+            ds = VOCDetection(
+                os.environ.get("VOC_ROOT", "data/VOCdevkit"), train_sets,
+                None,
+                AnnotationTransform(
+                    0 if args.setting == "transfer" else args.split),
+                phase=1, setting=args.setting, split=args.split,
+            )
+        else:
+            ds = COCODetection(
+                os.environ.get("COCO_ROOT", "data/COCO"),
+                [("2014", "split_nonvoc_train")], None,
+            )
+        n = min(n, len(ds))
+        imgs = np.stack([t(ds.pull_image(i)) for i in range(n)])
+        logger.info("int8 calibration: %d train-split images", n)
+        return imgs
+    except Exception as e:  # pragma: no cover - missing corpus
+        logger.warning(
+            "train split unavailable for calibration (%r); using "
+            "synthetic mean-centered noise (test set is never used)", e)
+        rng = np.random.RandomState(0)
+        return rng.randn(n, img_dim, img_dim, 3).astype(np.float32) * 50
 
 
 def run_inference(args, net, variables, dataset, task, priors, img_dim,
@@ -223,8 +272,10 @@ def main(argv=None):
     from ct_tpu.ops.priors import prior_boxes
     from ct_tpu.train.checkpointer import Checkpointer
     from ct_tpu.train.step import init_train_state
+    from ct_tpu.utils.cache import enable_compilation_cache
     from ct_tpu.utils.logger import setup_logger
 
+    enable_compilation_cache()
     save_folder = os.path.join(args.save_folder, "inference")
     os.makedirs(save_folder, exist_ok=True)
     logger = setup_logger(save_folder)
@@ -284,18 +335,13 @@ def main(argv=None):
 
         import jax.tree_util as jtu
 
-        from ct_tpu.config import RGB_MEANS
-        from ct_tpu.data.augment import EvalTransform
         from ct_tpu.models.fold_bn import fold_variables
         from ct_tpu.models.quantize import calibrate, quantize_variables
 
         net = dataclasses.replace(net, fold_bn=True)
         variables = fold_variables(variables)
-        t = EvalTransform(img_dim, RGB_MEANS)
-        n_cal = min(len(dataset), 8)
-        cal_images = jnp.asarray(np.stack(
-            [t(dataset.pull_image(i)) for i in range(n_cal)]
-        ))
+        cal_images = jnp.asarray(
+            calibration_images(args, img_dim, args.calib_images, logger))
         calib = calibrate(net, variables, [cal_images])
         quant = quantize_variables(variables["params"], calib)
         n_q = sum(
@@ -303,7 +349,8 @@ def main(argv=None):
             if path and getattr(path[-1], "key", "") == "kernel_int8"
         )
         logger.info("int8 serving path: %d convs quantized "
-                    "(calibrated on %d images)", n_q, n_cal)
+                    "(calibrated on %d train-split images)", n_q,
+                    len(cal_images))
 
     all_boxes = run_inference(
         args, net, variables, dataset, task, priors, img_dim, logger,

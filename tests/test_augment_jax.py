@@ -167,3 +167,70 @@ def test_device_augment_distribution_matches_host():
     assert abs(np.std(h_cx) - np.std(d_cx)) < 0.06
     # mean-subtracted output pixel statistics
     close(h_px, d_px, 8.0, "mean pixel")
+
+
+def test_mixup_batch_reference_semantics():
+    """Blend + weight columns match the reference dataset-level mixup
+    (voc0712.py:240-275): image = λ·a + (1−λ)·b, weights λ·w_a ‖ (1−λ)·w_b,
+    partner always a different batch element."""
+    from ct_tpu.data.augment_jax import mixup_batch
+
+    rng = np.random.RandomState(0)
+    b, s, m = 6, 32, 4
+    batch = {
+        "image": jnp.asarray(rng.rand(b, s, s, 3).astype(np.float32) * 255),
+        "boxes": jnp.asarray(rng.rand(b, m, 4).astype(np.float32)),
+        "labels": jnp.asarray(
+            rng.randint(-1, 10, size=(b, m)).astype(np.int32)),
+        "weights": jnp.asarray(rng.rand(b, m).astype(np.float32)),
+        "valid": jnp.asarray(rng.rand(b, m) > 0.3),
+    }
+    key = jax.random.PRNGKey(3)
+    out = mixup_batch(key, batch)
+
+    assert out["image"].shape == (b, s, s, 3)
+    for k in ("boxes", "labels", "weights", "valid"):
+        assert out[k].shape[1] == 2 * m, k
+
+    # recover λ and the roll offset from the weight columns
+    w = np.asarray(out["weights"])
+    w_in = np.asarray(batch["weights"])
+    lam = w[:, :m] / np.maximum(w_in, 1e-9)
+    np.testing.assert_allclose(
+        lam, np.broadcast_to(lam[:, :1], lam.shape), rtol=1e-5
+    )  # per-image λ
+    lam = lam[:, 0]
+    assert (lam > 0).all() and (lam < 1).all()
+
+    # find the offset: second half of boxes must equal a roll of the input
+    bx = np.asarray(out["boxes"])
+    offsets = [
+        r for r in range(1, b)
+        if np.allclose(bx[:, m:], np.roll(np.asarray(batch["boxes"]), r,
+                                          axis=0))
+    ]
+    assert len(offsets) == 1 and offsets[0] != 0
+    r = offsets[0]
+
+    # image blend and partner weight column are exact
+    img = np.asarray(batch["image"])
+    np.testing.assert_allclose(
+        np.asarray(out["image"]),
+        lam[:, None, None, None] * img
+        + (1 - lam)[:, None, None, None] * np.roll(img, r, axis=0),
+        rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        w[:, m:], (1 - lam)[:, None] * np.roll(w_in, r, axis=0),
+        rtol=1e-5, atol=1e-7)
+
+    # incre/instance-shot: ignore-label rows get weight 0
+    out0 = mixup_batch(key, batch, zero_ignored=True)
+    lab = np.asarray(out0["labels"])
+    w0 = np.asarray(out0["weights"])
+    assert (w0[lab < 0] == 0).all()
+    assert (w0[lab >= 0] > 0).any()
+
+    # deterministic under the same key
+    out2 = mixup_batch(key, batch)
+    np.testing.assert_array_equal(np.asarray(out2["image"]),
+                                  np.asarray(out["image"]))

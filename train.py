@@ -84,6 +84,13 @@ def parse_args(argv=None):
                              "mixup on this path)")
     parser.add_argument("--canvas", type=int, default=384,
                         help="Working-canvas size for --device-augment")
+    parser.add_argument("--fused-opt", choices=["on", "off"], default="on",
+                        help="Flat-vector fused SGD update (bit-identical "
+                             "math, ~8x fewer optimizer HLO ops)")
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="Gradient accumulation micro-batches per step "
+                             "(512-model training at effective batch 64 "
+                             "on one chip)")
     return parser.parse_args(argv)
 
 
@@ -93,6 +100,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import optax
+
+    from ct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ct_tpu.config import (
         RGB_MEANS, EXPAND_PROB, OVERLAP_THRESHOLD, get_config, resolve_task,
@@ -135,12 +146,7 @@ def main(argv=None):
         from ct_tpu.data.augment import RawCanvasTransform
 
         preproc = RawCanvasTransform(args.canvas)
-        if args.mixup:
-            logger.warning(
-                "--device-augment does not support dataset-level mixup; "
-                "disabling mixup"
-            )
-            args.mixup = False
+        # mixup runs batch-level on device (augment_jax.mixup_batch)
     else:
         preproc = TrainAugment(img_dim, RGB_MEANS, EXPAND_PROB)
 
@@ -181,7 +187,11 @@ def main(argv=None):
     logger.info("Mesh: %s", mesh)
 
     state = init_train_state(net, None, jax.random.PRNGKey(0), img_dim)
-    tx = build_optimizer(state.params, task, solver_cfg)
+    from ct_tpu.train.solver import build_fused_optimizer
+
+    build_tx = (build_fused_optimizer if args.fused_opt == "on"
+                else build_optimizer)
+    tx = build_tx(state.params, task, solver_cfg)
 
     ck = Checkpointer(args.save_folder)
     load_path = args.basenet if args.phase == 1 else args.load_file
@@ -208,16 +218,33 @@ def main(argv=None):
         if loaded["opt_state"] is not None:
             from flax import serialization
 
-            opt_state = serialization.from_state_dict(
-                tx.init(loaded["params"]), loaded["opt_state"]
-            )
+            try:
+                opt_state = serialization.from_state_dict(
+                    tx.init(loaded["params"]), loaded["opt_state"]
+                )
+            except (ValueError, KeyError, TypeError):
+                # checkpoint was written by the other optimizer flavor —
+                # rebuild with it so momentum/schedule state carries over
+                other = (build_optimizer if args.fused_opt == "on"
+                         else build_fused_optimizer)
+                logger.warning(
+                    "optimizer state in checkpoint does not match "
+                    "--fused-opt=%s; resuming with the other flavor",
+                    args.fused_opt)
+                tx = other(loaded["params"], task, solver_cfg)
+                opt_state = serialization.from_state_dict(
+                    tx.init(loaded["params"]), loaded["opt_state"]
+                )
         else:
             opt_state = tx.init(loaded["params"])
     state = TrainState(loaded["params"], loaded["batch_stats"], opt_state,
                        jnp.asarray(start_iter, jnp.int32))
 
+    if args.accum_steps > 1 and args.batch_size % args.accum_steps:
+        raise SystemExit("--batch-size must divide by --accum-steps")
     step_fn = make_train_step(net, priors, task, tx,
-                              OVERLAP_THRESHOLD, mesh=mesh)
+                              OVERLAP_THRESHOLD, mesh=mesh,
+                              accum_steps=args.accum_steps)
     periodic = PeriodicCheckpointer(orbax_ck if orbax_ck is not None else ck,
                                     args.checkpoint_period, args.max_iter)
     schedule = warmup_multistep_schedule(solver_cfg)
@@ -226,11 +253,15 @@ def main(argv=None):
                     max_objs=args.max_objs, seed=0)
 
     # --- phase-2 'ours' extras: OBJ_Target init + mixup -------------------
+    device_mixup = False
     if task.has_ct_head:
         state = init_reweight(
             args, net, state, loader, priors, task, logger=logger
         )
-        if args.mixup:
+        if args.mixup and args.device_augment:
+            device_mixup = True   # batch-level mixup fused into the device
+            # augmentation pass (reference semantics: voc0712.py:240-275)
+        elif args.mixup:
             dataset.set_mixup(np.random.beta, 1.5, 1.5)
             loader.restart()
         logger.info("Fine tuning on %d-shot task", args.shot)
@@ -279,12 +310,16 @@ def main(argv=None):
             task.has_ct_head and args.mixup
             and iteration == args.max_iter - args.no_mixup_iter
         ):
-            dataset.set_mixup(None)
-            loader.restart()
+            # reference train.py:209-218: mixup off for the last iterations
+            if device_mixup:
+                device_mixup = False   # next step recompiles for M targets
+            else:
+                dataset.set_mixup(None)
+                loader.restart()
 
         batch = loader.next()
         if args.device_augment:
-            from ct_tpu.data.augment_jax import augment_batch
+            from ct_tpu.data.augment_jax import augment_batch, mixup_batch
 
             weights = jax.numpy.asarray(batch["weights"])
             aug = augment_batch(
@@ -296,6 +331,13 @@ def main(argv=None):
                 out_size=img_dim,
             )
             batch = dict(aug, weights=weights)
+            if device_mixup:
+                batch = mixup_batch(
+                    jax.random.fold_in(jax.random.PRNGKey(2), iteration),
+                    batch,
+                    zero_ignored=(args.setting == "incre"
+                                  or args.instance_shot),
+                )
         batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch)
         pending.append((iteration, metrics))
