@@ -32,20 +32,25 @@ def log(*a):
 
 
 def bench_train(jax, jnp, np, net, priors, task, batch: int = 64,
-                iters: int = 10) -> float:
-    """Compiled phase-2 train step (fwd+bwd+SGD+OBJ_Target renorm) img/s."""
+                iters: int = 10, size: int = 300,
+                accum_steps: int = 1) -> float:
+    """Compiled phase-2 train step (fwd+bwd+SGD+OBJ_Target renorm) img/s.
+
+    Uses the fused flat-vector SGD (build_fused_optimizer) — the per-leaf
+    chain's thousands of small optimizer HLOs were a measured slice of the
+    step's dispatch overhead (docs/ROADMAP.md item 2)."""
     from ct_tpu.data.targets import pad_targets
-    from ct_tpu.train.solver import SolverConfig, build_optimizer
+    from ct_tpu.train.solver import SolverConfig, build_fused_optimizer
     from ct_tpu.train.step import (
         TrainState, init_train_state, make_train_step,
     )
 
     cfg = SolverConfig(lr=1e-3, steps=(10 ** 6,), warmup_iters=0)
-    state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
-    tx = build_optimizer(state.params, task, cfg)
+    state = init_train_state(net, None, jax.random.PRNGKey(0), size)
+    tx = build_fused_optimizer(state.params, task, cfg)
     state = TrainState(state.params, state.batch_stats,
                        tx.init(state.params), state.step)
-    step = make_train_step(net, priors, task, tx)
+    step = make_train_step(net, priors, task, tx, accum_steps=accum_steps)
 
     rng = np.random.RandomState(0)
     annos = [
@@ -56,7 +61,7 @@ def bench_train(jax, jnp, np, net, priors, task, batch: int = 64,
     t = pad_targets(annos, max_objs=16)
     b = {
         "image": jnp.asarray(
-            rng.randn(batch, 300, 300, 3).astype(np.float32) * 50),
+            rng.randn(batch, size, size, 3).astype(np.float32) * 50),
         "boxes": jnp.asarray(t.boxes), "labels": jnp.asarray(t.labels),
         "weights": jnp.asarray(t.weights), "valid": jnp.asarray(t.valid),
     }
@@ -106,7 +111,10 @@ def main():
         net = dataclasses.replace(net, use_pallas_ct=True)
     priors = prior_boxes(VOC_300)
 
+    t0 = time.perf_counter()
     state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
+    jax.block_until_ready(state.params)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(
@@ -127,9 +135,11 @@ def main():
         from ct_tpu.models.quantize import calibrate, quantize_variables
 
         fnet = dataclasses.replace(net, fold_bn=True)
+        t0 = time.perf_counter()
         folded = fold_variables(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
+        log(f"fold_bn: {time.perf_counter() - t0:.1f}s")
         log("calibrating int8 scales…")
         calib = calibrate(fnet, folded, [images[:8]])
         quant = jax.device_put(quantize_variables(folded["params"], calib))
@@ -144,8 +154,12 @@ def main():
     # near-threshold junk tail — fixture mAP is identical to the exact
     # K=200 config at 0.0234, docs/PARITY.md; `test.py` defaults stay
     # exact/200 for parity runs)
+    # pool_size: per-image top-512 prior pool (boxes are shared across
+    # classes) — replaces the per-class [B,C,K]-row box gather with one
+    # small row gather + an MXU one-hot contraction (ct_tpu/ops/nms.py)
     eval_step = make_eval_step(net, priors, approx_top_k=on_tpu,
                                top_k=128 if on_tpu else 200,
+                               pool_size=512 if on_tpu else 0,
                                quant=quant)
 
     log(f"compiling ({mode} serving path)…")
@@ -184,7 +198,8 @@ def main():
     obj = jax.nn.softmax(
         jnp.asarray(rng.randn(batch, p, 2).astype(np.float32)), axis=-1)
     nms_fn = jax.jit(lambda l, c, o, z: postprocess(
-        l, c, o, priors, image_sizes=z, approx_top_k=on_tpu))
+        l, c, o, priors, image_sizes=z, approx_top_k=on_tpu,
+        top_k=128 if on_tpu else 200, pool_size=512 if on_tpu else 0))
     jax.block_until_ready(nms_fn(loc, conf, obj, sizes))
     samples = []
     for _ in range(9):
@@ -211,10 +226,30 @@ def main():
 
             train_net = _dc.replace(net, fold_bn=False)
             train_ips = bench_train(jax, jnp, np, train_net, priors, task)
-            log(f"train: {train_ips:.1f} images/sec/chip (fwd+bwd+SGD, "
-                f"batch 64)")
+            log(f"train: {train_ips:.1f} images/sec/chip (fwd+bwd+fused "
+                f"SGD, batch 64)")
         except Exception as e:  # pragma: no cover - defensive
             log(f"train bench failed: {e!r}")
+
+    # 512-resolution training at the reference's effective batch 64 via
+    # gradient accumulation (VERDICT r2 item 8); opt-in: adds a multi-
+    # minute compile
+    if os.environ.get("CT_BENCH_512", "0") != "0":
+        try:
+            import dataclasses as _dc
+
+            from ct_tpu.config import get_config
+
+            net512 = build_net(task, 512, dtype=dtype)
+            if on_tpu:
+                net512 = _dc.replace(net512, use_pallas_ct=True)
+            priors512 = prior_boxes(get_config("VOC", 512))
+            ips512 = bench_train(jax, jnp, np, net512, priors512, task,
+                                 batch=64, size=512, accum_steps=4)
+            log(f"train 512: {ips512:.1f} images/sec/chip (effective "
+                f"batch 64, accum 4)")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"512 train bench failed: {e!r}")
 
 
 if __name__ == "__main__":

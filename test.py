@@ -54,6 +54,9 @@ def parse_args(argv=None):
     parser.add_argument("--host-nms", action="store_true",
                         help="Run NMS on the host via the native C++ lib "
                              "(parity with the reference --cpu path)")
+    parser.add_argument("--pool-size", type=int, default=0,
+                        help="Per-image candidate-pool size for the pooled "
+                             "serving NMS path (0 = exact per-class path)")
     parser.add_argument("--top-k", type=int, default=200,
                         help="Per-class NMS candidate cap (the reference "
                              "has no pre-NMS cap; 200 matches its post-NMS "
@@ -136,7 +139,8 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
         args.approx_topk == "auto" and on_tpu
     )
     eval_step = make_eval_step(net, priors, approx_top_k=approx,
-                               top_k=args.top_k, quant=quant)
+                               top_k=args.top_k, quant=quant,
+                               pool_size=args.pool_size)
     transform = EvalTransform(img_dim, RGB_MEANS)
     num_images = len(dataset)
     num_classes = task.num_classes

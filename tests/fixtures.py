@@ -36,14 +36,29 @@ def make_mini_voc_all(root: str, **kw) -> str:
     return make_mini_voc(root, year="2012", seed=1, **kw)
 
 
+def class_color(idx: int) -> Tuple[int, int, int]:
+    """Deterministic, well-separated BGR color for class ``idx``."""
+    rng = np.random.RandomState(977 + idx)
+    return tuple(int(c) for c in rng.randint(30, 226, 3))
+
+
 def make_mini_voc(
     root: str,
     year: str = "2007",
     num_images: int = 8,
     classes: Tuple[str, ...] = ("aeroplane", "bicycle", "bird", "car"),
     seed: int = 0,
+    class_colors: bool = False,
+    max_test_ids: int = 0,
 ) -> str:
-    """Create VOCdevkit/VOC{year} under ``root``; returns the devkit path."""
+    """Create VOCdevkit/VOC{year} under ``root``; returns the devkit path.
+
+    ``class_colors``: paint each class with a fixed color (+ small jitter)
+    so the class is *learnable from appearance* — required when a fixture
+    must support training to non-noise mAP (random colors cap mAP at
+    chance-level class assignment). ``max_test_ids``: cap test.txt to the
+    first N ids (bounds the torch-side per-image eval cost on big
+    fixtures; 0 = all)."""
     rng = np.random.RandomState(seed)
     devkit = os.path.join(root, "VOCdevkit")
     base = os.path.join(devkit, "VOC" + year)
@@ -61,12 +76,20 @@ def make_mini_voc(
         img = np.full((h, w, 3), 128, np.uint8)
         objects = []
         for _ in range(int(rng.randint(1, 4))):
-            cls = classes[int(rng.randint(len(classes)))]
+            ci = int(rng.randint(len(classes)))
+            cls = classes[ci]
             x1 = int(rng.randint(1, w - 60))
             y1 = int(rng.randint(1, h - 60))
             x2 = x1 + int(rng.randint(40, min(120, w - x1)))
             y2 = y1 + int(rng.randint(40, min(120, h - y1)))
-            color = tuple(int(c) for c in rng.randint(0, 255, 3))
+            if class_colors:
+                base_c = class_color(ci)
+                color = tuple(
+                    int(np.clip(c + rng.randint(-18, 19), 0, 255))
+                    for c in base_c
+                )
+            else:
+                color = tuple(int(c) for c in rng.randint(0, 255, 3))
             cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
             objects.append(OBJ_TEMPLATE.format(
                 cls=cls, difficult=0, x1=x1, y1=y1, x2=x2, y2=y2))
@@ -80,11 +103,14 @@ def make_mini_voc(
 
     main = os.path.join(base, "ImageSets", "Main")
     listing = "\n".join(ids) + "\n"
-    for fname in ("trainval.txt", "test.txt", "trainval_split1.txt",
+    test_ids = ids[:max_test_ids] if max_test_ids else ids
+    for fname in ("trainval.txt", "trainval_split1.txt",
                   "trainval_split2.txt", "trainval_split3.txt",
                   "trainval_1shot.txt", "trainval_5shot.txt"):
         with open(os.path.join(main, fname), "w") as f:
             f.write(listing)
+    with open(os.path.join(main, "test.txt"), "w") as f:
+        f.write("\n".join(test_ids) + "\n")
     # per-class instance-shot lists: every class file exists (reuse images
     # for classes we didn't draw — the loader only needs ids to resolve)
     for cls in VOC_CLASSES[0][1:]:
