@@ -132,7 +132,9 @@ def main():
         import dataclasses
 
         from ct_tpu.models.fold_bn import fold_variables
-        from ct_tpu.models.quantize import calibrate, quantize_variables
+        from ct_tpu.models.quantize import (
+            SKIP_LOC_OBJ, calibrate, quantize_variables,
+        )
 
         fnet = dataclasses.replace(net, fold_bn=True)
         t0 = time.perf_counter()
@@ -142,7 +144,14 @@ def main():
         log(f"fold_bn: {time.perf_counter() - t0:.1f}s")
         log("calibrating int8 scales…")
         calib = calibrate(fnet, folded, [images[:8]])
-        quant = jax.device_put(quantize_variables(folded["params"], calib))
+        from ct_tpu.models.rfbnet import vgg_pool_chains
+
+        # conf heads int8 too (SKIP_LOC_OBJ): fidelity measured on the
+        # decisive-mAP parity model — see docs/PARITY.md. Pool-boundary
+        # chaining is bit-exact (tests/test_quantize.py).
+        quant = jax.device_put(quantize_variables(
+            folded["params"], calib, skip=SKIP_LOC_OBJ,
+            chains=vgg_pool_chains(300)))
         net = fnet
         params, batch_stats = folded["params"], folded["batch_stats"]
         mode = "int8"

@@ -54,6 +54,15 @@ def max_pool2d(
         return max(0, needed)
 
     pads = ((ph, ph + extra(h, kh, sh, ph)), (pw, pw + extra(w, kw, sw, pw)))
+    if x.dtype == jnp.int8:
+        # int8 serving path (chained quantization across pools): flax's
+        # nn.max_pool initializes with -inf, which has no int8 value. Pad
+        # with -128 — quantized activations are clipped to [-127, 127], so
+        # the pad never wins a max, exactly like -inf for floats.
+        return jax.lax.reduce_window(
+            x, jnp.int8(-128), jax.lax.max, (1, kh, kw, 1), (1, sh, sw, 1),
+            ((0, 0), pads[0], pads[1], (0, 0)),
+        )
     return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding=pads)
 
 
@@ -110,9 +119,17 @@ class Conv2d(nn.Module):
             sx = self.get_variable("quant", "act_scale")
             w8 = self.get_variable("quant", "kernel_int8")
             sw = self.get_variable("quant", "kernel_scale")
-            x8 = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / sx), -127, 127
-            ).astype(jnp.int8)
+            if x.dtype == jnp.int8:
+                # chained input: the producer conv already emitted int8 at
+                # THIS conv's act_scale (quantize.py wires out_scale :=
+                # consumer act_scale), and relu/max-pool in between commute
+                # with the monotone round/clip — bit-identical to
+                # quantizing here
+                x8 = x
+            else:
+                x8 = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                ).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 x8, w8, self.strides, self.padding,
                 rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
@@ -120,6 +137,17 @@ class Conv2d(nn.Module):
             ).astype(jnp.float32) * (sx * sw)
             if bias is not None:
                 y = y + bias.astype(jnp.float32)
+            if self.has_variable("quant", "out_scale"):
+                # emit int8 for a chained consumer: across a max-pool
+                # boundary XLA cannot fuse this conv's rescale with the
+                # next conv's quantize (profiled: the pool materialized a
+                # bf16 300²·64 tensor both ways), so quantize BEFORE the
+                # pool — exact, because round/clip are monotone and the
+                # consumer would clip to the same scale anyway
+                so = self.get_variable("quant", "out_scale")
+                return jnp.clip(
+                    jnp.round(y / so), -127, 127
+                ).astype(jnp.int8)
             return y.astype(self.dtype or jnp.float32)
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype

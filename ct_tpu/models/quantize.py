@@ -31,6 +31,13 @@ import numpy as np
 # head convs + CT projections stay float
 SKIP_DEFAULT = (r"^(loc|conf|obj)_\d+$", r"^(theta|phi|g|fc_base)$")
 
+# serving-fast option: the conf heads are the widest head convs (6 anchors
+# × 60 classes ≈ 360 output channels; ≈5 ms bf16 per batch-128 across the
+# source maps, profiled at MXU peak — int8 halves them). loc (feeds box
+# decode) and obj (gates every score) stay float; fidelity of int8 conf
+# is measured on the decisive-mAP parity model (docs/PARITY.md).
+SKIP_LOC_OBJ = (r"^(loc|obj)_\d+$", r"^(theta|phi|g|fc_base)$")
+
 
 def calibrate(net, variables: Dict[str, Any],
               batches: Iterable[jnp.ndarray]) -> Dict[str, Any]:
@@ -67,12 +74,20 @@ def quantize_variables(
     params: Dict[str, Any],
     calib: Dict[str, Any],
     skip: Sequence[str] = SKIP_DEFAULT,
+    chains: Sequence[Any] = (),
 ) -> Dict[str, Any]:
     """Build the 'quant' collection mirroring the param tree.
 
     For every conv whose module recorded an activation absmax (and whose
     path isn't skipped): kernel_int8 = round(W/s_c) with per-output-channel
     s_c = absmax(W[..., c])/127, act_scale = absmax(x)/127.
+
+    ``chains``: (producer, consumer) top-level conv-name pairs separated
+    only by relu/max-pool (e.g. ``rfbnet.vgg_pool_chains``). The producer
+    gets ``out_scale := consumer act_scale`` and emits int8 directly, the
+    pool runs on int8, and the consumer skips requantization — bit-exact
+    (round/clip commute with max) while halving the HBM traffic of the
+    pool-boundary activations.
     """
     skip_re = [re.compile(s) for s in skip]
 
@@ -102,4 +117,8 @@ def quantize_variables(
                     out[key] = sub
         return out
 
-    return walk(params, calib)
+    out = walk(params, calib)
+    for prod, cons in chains:
+        if prod in out and cons in out:
+            out[prod]["out_scale"] = out[cons]["act_scale"]
+    return out

@@ -83,6 +83,31 @@ def vgg_plan(size: int = 300) -> List[Tuple[str, int, Any]]:
 VGG_CONV43_TORCH_IDX = 23
 
 
+def vgg_pool_chains(size: int = 300) -> List[Tuple[str, str]]:
+    """(producer, consumer) conv-name pairs separated only by max-pooling
+    in the VGG trunk.
+
+    The int8 serving path chains quantization across these boundaries: the
+    producer emits int8 at the consumer's activation scale and the pool
+    runs on int8 (exact — round/clip are monotone, so they commute with
+    max; see ct_tpu.models.{layers,quantize}). XLA already fuses the
+    requantization everywhere else; max-pool is the one op that otherwise
+    materializes the activation in bf16 on both sides (profiled at
+    ~6 ms/batch-128 for the 300²·64 stage alone)."""
+    pairs: List[Tuple[str, str]] = []
+    prev_conv: Optional[str] = None
+    pooled = False
+    for kind, idx, _spec in vgg_plan(size):
+        if kind == "conv":
+            name = f"vgg_{idx}"
+            if prev_conv is not None and pooled:
+                pairs.append((prev_conv, name))
+            prev_conv, pooled = name, False
+        else:
+            pooled = True
+    return pairs
+
+
 def norm_spec(size: int) -> Tuple[int, int]:
     """(torch-plan index where the Norm RFB-a source taps off, channels)."""
     return (8, 64) if size == 64 else (VGG_CONV43_TORCH_IDX, 512)
@@ -230,10 +255,17 @@ class RFBNet(nn.Module):
         else:
             conf_out = conf_feat
 
+        # serving (fold_bn): conf/obj stay in the compute dtype — the f32
+        # upcast of [B, 11620, 60] materialized an extra 357 MB/batch-128
+        # through HBM before softmax (profiled); fidelity of bf16 scores is
+        # measured on the decisive-mAP parity model (docs/PARITY.md). loc
+        # always returns f32: box decode precision feeds mAP directly.
+        score_t = (self.dtype or jnp.float32) if self.fold_bn \
+            else jnp.float32
         return Predictions(
             loc.astype(jnp.float32),
-            conf_out.astype(jnp.float32),
-            obj.astype(jnp.float32),
+            conf_out.astype(score_t),
+            obj.astype(score_t),
             conf_feat.astype(jnp.float32),
         )
 
@@ -253,21 +285,10 @@ class RFBNet(nn.Module):
             kernel_init=nn.initializers.he_normal(),
         )
 
-        q = dense("theta")(conf) + conf            # [B, P, C]
         k = dense("phi")(keys) + keys              # [B, K, C]
         v = dense("g")(keys) + keys                # [B, K, C]
 
         wz = self.param("Wz", nn.initializers.zeros, (c,))
-        from ct_tpu.ops.ct_attention import (
-            ct_attention, ct_attention_reference,
-        )
-
-        if self.use_pallas_ct:
-            novel = ct_attention(q, k, v, conf, wz)
-        else:
-            novel = ct_attention_reference(q, k, v, conf, wz)
-        novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
-
         n_novel = (
             task.num_classes - 1 if task.setting == "transfer"
             else task.num_classes - 1 - task.src_cls_dim
@@ -277,10 +298,35 @@ class RFBNet(nn.Module):
             nn.initializers.normal(0.02),
             (n_novel, c),
         )  # rows are class prototypes, like the torch Linear weight
-        novel = jnp.einsum(
-            "bpc,nc->bpn", novel, obj_target,
-            preferred_element_type=jnp.float32,
-        ) * 5.0
+
+        from ct_tpu.ops.ct_attention import (
+            ct_attention, ct_attention_reference, ct_attention_serving,
+        )
+
+        if self.use_pallas_ct and self.fold_bn:
+            # serving: one fused kernel runs θ-projection → attention →
+            # residual → ℓ2-normalize → cosine classifier, reading conf
+            # once (the unfused chain materializes q/novel at [B, P, C]
+            # through HBM five times — profiled ≈3 ms/batch-128)
+            dense("theta")(conf[:, :1])   # create/locate θ params only
+            th = self.get_variable("params", "theta")
+            novel = ct_attention_serving(
+                conf, k, v,
+                th["kernel"].astype(conf.dtype),
+                th["bias"].astype(jnp.float32),
+                wz, obj_target.astype(conf.dtype),
+            )
+        else:
+            q = dense("theta")(conf) + conf        # [B, P, C]
+            if self.use_pallas_ct:
+                novel = ct_attention(q, k, v, conf, wz)
+            else:
+                novel = ct_attention_reference(q, k, v, conf, wz)
+            novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
+            novel = jnp.einsum(
+                "bpc,nc->bpn", novel, obj_target,
+                preferred_element_type=jnp.float32,
+            ) * 5.0
 
         if task.setting == "incre":
             base = nn.Dense(
@@ -302,5 +348,14 @@ def build_net(task: TaskSpec, size: int = 300,
 
 
 def eval_scores(preds: Predictions) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Softmaxed (conf, obj) as produced by the reference eval branch."""
-    return nn.softmax(preds.conf, axis=-1), nn.softmax(preds.obj, axis=-1)
+    """Softmaxed (conf, obj) as produced by the reference eval branch.
+
+    Math runs in f32 regardless of the logit dtype (softmax of bf16 logits
+    in bf16 loses ~2 decimal digits on the probabilities); the result is
+    emitted in the logit dtype, so a bf16 serving path keeps its halved
+    HBM footprint while the exp/normalize stay f32 inside the fusion."""
+
+    def _sm(x):
+        return nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+    return _sm(preds.conf), _sm(preds.obj)

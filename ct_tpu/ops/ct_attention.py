@@ -46,7 +46,8 @@ def ct_attention_reference(
 
 
 def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
-    # blocks: q/base/out [1, bq, C]; k/v [1, K, C]; wz [1, C].
+    # blocks: q/base/out [1, bq, C]; k [1, K, C]; v [1, K, C+1] (v with a
+    # ones column appended by the wrapper); wz [1, C].
     # matmul operands stay in their input dtype (bf16 on TPU → native MXU
     # rate) with f32 accumulation; softmax statistics are f32.
     q = q_ref[0]
@@ -59,12 +60,15 @@ def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
     )                                                       # [bq, K] f32
     s_max = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - s_max)
-    # matmul the UNNORMALIZED weights and divide the [bq, C] result by the
-    # row sums afterwards: K/C ≈ 30x fewer divisions than normalizing the
-    # [bq, K] attention matrix, and e drops to bf16 only at the MXU input
-    delta = jnp.dot(e.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)     # [bq, C]
-    delta = delta / jnp.sum(e, axis=-1, keepdims=True)
+    # one MXU op yields the unnormalized delta AND the softmax denominator:
+    # v carries an appended ones column, so dd = e @ [v|1] is
+    # [Σe·v | Σe] — no [bq, K] VPU row-sum, and C+1 stays inside the same
+    # 128-lane tile the C-wide matmul already occupies. e drops to bf16
+    # only at the MXU input; the row sum therefore accumulates in f32 via
+    # preferred_element_type exactly like the explicit jnp.sum did.
+    dd = jnp.dot(e.astype(v.dtype), v,
+                 preferred_element_type=jnp.float32)        # [bq, C+1]
+    delta = dd[:, :-1] / dd[:, -1:]
     out_ref[0] = (
         base_ref[0].astype(jnp.float32) + delta * wz_ref[0, :]
     ).astype(out_ref.dtype)
@@ -87,15 +91,19 @@ def ct_attention(q, k, v, base, wz, block_q: int = 1024,
     b, p, c = q.shape
     kk = k.shape[1]
     block_q = _fit_block_q(block_q, kk)
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((b, kk, 1), v.dtype)], axis=-1)
     qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, kk, c + 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel,
         grid=(b, pl.cdiv(p, block_q)),
         in_specs=[
-            qspec, kvspec, kvspec, qspec,
+            qspec, kspec, vspec, qspec,
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -107,7 +115,7 @@ def ct_attention(q, k, v, base, wz, block_q: int = 1024,
             transcendentals=b * p * kk,
         ),
         interpret=interpret,
-    )(q, k, v, base, wz[None, :])
+    )(q, k, v_aug, base, wz[None, :])
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
@@ -218,6 +226,102 @@ def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 256,
         interpret=interpret,
     )(q, k, v, wz[None, :], g)
     return dq, dk, dv, jnp.sum(dwz[:, 0, :], axis=0)
+
+
+def _serving_kernel(conf_ref, k_ref, v_ref, wt_ref, bt_ref, wz_ref,
+                    obj_ref, out_ref, *, scale: float):
+    """Whole CT head for one query block (serving only):
+
+        q      = conf @ Wθ + bθ + conf          (θ residual projection)
+        novel  = conf + softmax(q kᵀ) v ∘ wz    (attention delta)
+        out    = (novel / ‖novel‖₂) @ OBJᵀ · scale   (cosine classifier)
+
+    One HBM read of the conf block and one [bq, N] write replace the
+    unfused chain's five [B, P, C]-sized HBM round-trips (θ-projection
+    materialization, separate q/base reads, novel write + normalize/einsum
+    re-read — profiled ≈3 ms/batch-128 on top of the attention kernel).
+    Training keeps the unfused path + custom_vjp."""
+    conf = conf_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    q = (
+        jax.lax.dot_general(conf, wt_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + bt_ref[0, :] + conf.astype(jnp.float32)
+    ).astype(conf.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [bq, K] f32
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - s_max)
+    dd = jnp.dot(e.astype(v.dtype), v,
+                 preferred_element_type=jnp.float32)        # [bq, C+1]
+    delta = dd[:, :-1] / dd[:, -1:]
+    novel = conf.astype(jnp.float32) + delta * wz_ref[0, :]
+    inv = jax.lax.rsqrt(jnp.sum(novel * novel, axis=-1, keepdims=True))
+    novel = (novel * inv).astype(conf.dtype)
+    out = jax.lax.dot_general(
+        obj_ref[...], novel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                               # [N, bq]
+    # class-major output: N is tiny (5/20), so a row-major [B, P, N] array
+    # puts it on the 128-lane axis — 6.4× padded HBM footprint that every
+    # downstream score pass re-pays (profiled: +7 ms/batch-128 softmax/
+    # fuse fusion). [B, N, P] keeps the anchor axis on the lanes.
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def ct_attention_serving(
+    conf: jnp.ndarray,        # [B, P, C] pre-CT source-class logits
+    k: jnp.ndarray,           # [B, K, C] φ(keys)+keys
+    v: jnp.ndarray,           # [B, K, C] g(keys)+keys
+    w_theta: jnp.ndarray,     # [C, C]
+    b_theta: jnp.ndarray,     # [C]
+    wz: jnp.ndarray,          # [C]
+    obj_target: jnp.ndarray,  # [N, C] class prototypes
+    scale: float = 5.0,
+    block_q: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """→ [B, P, N] cosine-classifier scores (see _serving_kernel)."""
+    b, p, c = conf.shape
+    kk = k.shape[1]
+    n = obj_target.shape[0]
+    block_q = _fit_block_q(block_q, kk)
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((b, kk, 1), v.dtype)], axis=-1)
+    qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, kk, c + 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rep = lambda *shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out_cm = pl.pallas_call(
+        functools.partial(_serving_kernel, scale=scale),
+        grid=(b, pl.cdiv(p, block_q)),
+        in_specs=[
+            qspec, kspec, vspec,
+            rep(c, c), rep(1, c), rep(1, c), rep(n, c),
+        ],
+        out_specs=pl.BlockSpec((1, n, block_q), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, p), conf.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * c * (2 * kk + c + n),
+            bytes_accessed=2 * b * (p * c + 2 * kk * c + p * n),
+            transcendentals=b * p * kk,
+        ),
+        interpret=interpret,
+    )(conf, k, v_aug, w_theta, b_theta[None, :], wz[None, :], obj_target)
+    # logical [B, P, N] for the caller; XLA keeps the class-major physical
+    # layout ({0,2,1}) for the downstream score passes, so this is a
+    # bitcast rather than a copy
+    return jnp.moveaxis(out_cm, 1, -1)
 
 
 def _fwd(q, k, v, base, wz, block_q, interpret):

@@ -64,6 +64,11 @@ def nms_mask(
     idx = jnp.arange(k)
     # sup[j, i]: candidate j (higher score, j < i) can suppress i
     sup = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
+    # materialize: without the barrier XLA fuses the whole IoU computation
+    # into the while body and recomputes it EVERY sweep (profiled at
+    # 0.47 ms × ~10 sweeps per serving batch-128; the pred mask read is
+    # ~10× cheaper than the f32 IoU recompute)
+    sup = jax.lax.optimization_barrier(sup)
 
     def cond(state):
         _, changed, it = state

@@ -30,7 +30,9 @@ def main():
     from ct_tpu.config import VOC_300, resolve_task
     from ct_tpu.models import build_net
     from ct_tpu.models.fold_bn import fold_variables
-    from ct_tpu.models.quantize import calibrate, quantize_variables
+    from ct_tpu.models.quantize import (
+        SKIP_LOC_OBJ, calibrate, quantize_variables,
+    )
     from ct_tpu.ops.priors import prior_boxes
     from ct_tpu.train.step import init_train_state, make_eval_step
 
@@ -51,8 +53,12 @@ def main():
     folded = fold_variables(
         {"params": state.params, "batch_stats": state.batch_stats})
     print("folded", flush=True)
+    from ct_tpu.models.rfbnet import vgg_pool_chains
+
     calib = calibrate(fnet, folded, [images[:8]])
-    quant = jax.device_put(quantize_variables(folded["params"], calib))
+    quant = jax.device_put(quantize_variables(
+        folded["params"], calib, skip=SKIP_LOC_OBJ,
+        chains=vgg_pool_chains(300)))
     eval_step = make_eval_step(fnet, priors, approx_top_k=True, top_k=128,
                                pool_size=512, quant=quant)
     params, batch_stats = folded["params"], folded["batch_stats"]
@@ -69,34 +75,45 @@ def main():
         jax.block_until_ready(d)
     print("trace written", flush=True)
 
-    # summarize: top ops by self-time from the xplane proto
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    summarize_trace(trace_dir)
+
+
+def summarize_trace(trace_dir: str, top: int = 40):
+    """Top device ops by summed duration, parsed straight from the xplane
+    proto (tensorboard_plugin_profile's converter is broken against the
+    installed protobuf — TypeError at import — so read XSpace directly)."""
+    import collections
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xplanes = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     print("xplane:", xplanes, flush=True)
-    data, _ = rtd.xspace_to_tool_data(xplanes, "op_profile", {})
-    import json as _json
-
-    prof = _json.loads(data)
-
-    def walk(node, depth=0, rows=None):
-        rows = rows if rows is not None else []
-        m = node.get("metrics", {})
-        name = node.get("name", "")
-        if depth >= 2 and m.get("rawTime", 0):
-            rows.append((m.get("rawTime", 0) / 1e9, name,
-                         m.get("flops", 0)))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, rows)
-        return rows
-
-    root = prof.get("byProgram") or prof.get("byCategory")
-    rows = sorted(walk(root), reverse=True)[:30]
-    total = sum(r[0] for r in rows)
-    print(f"top ops (sum {total*1e3:.1f} ms):")
-    for t, name, fl in rows:
-        print(f"  {t*1e3:8.3f} ms  {name[:90]}")
+    xs = xplane_pb2.XSpace()
+    with open(xplanes[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        emeta = plane.event_metadata
+        agg, cnt = collections.Counter(), collections.Counter()
+        line_ms = collections.Counter()
+        for line in plane.lines:
+            for ev in line.events:
+                name = emeta[ev.metadata_id].name
+                agg[(line.name, name)] += ev.duration_ps / 1e9  # ms
+                cnt[(line.name, name)] += 1
+                line_ms[line.name] += ev.duration_ps / 1e9
+        print(f"PLANE {plane.name}: " + "  ".join(
+            f"{ln}={ms:.1f}ms" for ln, ms in line_ms.items()))
+        shown = 0
+        for (ln, name), ms in agg.most_common():
+            if ln != "XLA Ops" or name.startswith("%copy"):
+                continue
+            print(f"  {ms:9.3f} ms x{cnt[(ln, name)]:3d}  {name[:95]}")
+            shown += 1
+            if shown >= top:
+                break
 
 
 if __name__ == "__main__":

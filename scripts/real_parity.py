@@ -197,6 +197,9 @@ def cmd_eval_ours(args):
     if args.int8:
         extra += ["--int8"]
         name += "_int8"
+    if args.int8_heads:
+        extra += ["--int8-heads"]
+        name += "h"
     if args.bf16:
         extra += ["--bf16"]
         name += "_bf16"
@@ -252,6 +255,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=4e-3)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8-heads", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--approx", action="store_true")
     ap.add_argument("--pool", action="store_true")

@@ -69,6 +69,9 @@ def parse_args(argv=None):
     parser.add_argument("--calib-images", type=int, default=8,
                         help="Number of train-split images used for int8 "
                              "activation-range calibration")
+    parser.add_argument("--int8-heads", action="store_true",
+                        help="With --int8: also quantize the conf head "
+                             "convs (the widest heads); loc/obj stay float")
     return parser.parse_args(argv)
 
 
@@ -340,14 +343,20 @@ def main(argv=None):
         import jax.tree_util as jtu
 
         from ct_tpu.models.fold_bn import fold_variables
-        from ct_tpu.models.quantize import calibrate, quantize_variables
+        from ct_tpu.models.quantize import (
+            SKIP_DEFAULT, SKIP_LOC_OBJ, calibrate, quantize_variables,
+        )
+        from ct_tpu.models.rfbnet import vgg_pool_chains
 
         net = dataclasses.replace(net, fold_bn=True)
         variables = fold_variables(variables)
         cal_images = jnp.asarray(
             calibration_images(args, img_dim, args.calib_images, logger))
         calib = calibrate(net, variables, [cal_images])
-        quant = quantize_variables(variables["params"], calib)
+        quant = quantize_variables(
+            variables["params"], calib,
+            skip=SKIP_LOC_OBJ if args.int8_heads else SKIP_DEFAULT,
+            chains=vgg_pool_chains(args.size))
         n_q = sum(
             1 for path, _ in jtu.tree_leaves_with_path(quant)
             if path and getattr(path[-1], "key", "") == "kernel_int8"

@@ -68,3 +68,29 @@ def test_pallas_backward_partial_block_masking():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_serving_kernel_matches_unfused_chain():
+    """ct_attention_serving (θ-proj → attention → residual → normalize →
+    cosine classifier in one kernel) vs the unfused op chain."""
+    from ct_tpu.ops.ct_attention import ct_attention_serving
+
+    rng = np.random.RandomState(4)
+    b, p, kk, c, n = 2, 500, 96, 60, 20
+    conf = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, kk, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, kk, c).astype(np.float32))
+    wt = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.1)
+    bt = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    wz = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    obj = jnp.asarray(rng.randn(n, c).astype(np.float32) * 0.2)
+
+    q = conf @ wt + bt + conf
+    novel = ct_attention_reference(q, k, v, conf, wz)
+    novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
+    ref = jnp.einsum("bpc,nc->bpn", novel, obj) * 5.0
+
+    out = ct_attention_serving(conf, k, v, wt, bt, wz, obj,
+                               block_q=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

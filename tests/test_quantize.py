@@ -87,3 +87,79 @@ def test_quantized_tiny_model_close_and_calibrated():
         # correlation stays essentially 1
         cc = np.corrcoef(a.ravel(), b.ravel())[0, 1]
         assert cc > 0.99, (name, cc)
+
+
+def test_int8_conf_heads_and_bf16_scores_serving_path():
+    """SKIP_LOC_OBJ also quantizes the conf heads (loc/obj stay float) and
+    the fold_bn serving model emits conf/obj in the compute dtype."""
+    from ct_tpu.models.quantize import SKIP_LOC_OBJ
+
+    task = resolve_task(2, "transfer", "ours", "VOC")
+    net = build_net(task, 64)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 50)
+
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         train=False)
+    folded = fold_variables(variables)
+    fnet = dataclasses.replace(net, fold_bn=True)
+    ref = fnet.apply(folded, images, train=False)
+
+    calib = calibrate(fnet, folded, [images])
+    quant = quantize_variables(folded["params"], calib, skip=SKIP_LOC_OBJ)
+    assert any(k.startswith("conf_") for k in quant)
+    assert not any(k.startswith(("loc_", "obj_")) for k in quant)
+
+    got = fnet.apply(dict(folded, quant=quant), images, train=False)
+    a = np.asarray(ref.conf_feat)
+    b = np.asarray(got.conf_feat)
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 0.15, rel
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+    # loc path identical to the default-skip quantization (same backbone
+    # quant; only the conf head convs changed, which loc never sees)
+    quant_def = quantize_variables(folded["params"], calib)
+    got_def = fnet.apply(dict(folded, quant=quant_def), images, train=False)
+    np.testing.assert_array_equal(np.asarray(got_def.loc),
+                                  np.asarray(got.loc))
+
+    # serving score dtype: fold_bn + bf16 keeps conf/obj in bf16, loc f32
+    bnet = dataclasses.replace(net, fold_bn=True, dtype=jnp.bfloat16)
+    preds = bnet.apply(dict(folded, quant=quant), images, train=False)
+    assert preds.conf.dtype == jnp.bfloat16
+    assert preds.obj.dtype == jnp.bfloat16
+    assert preds.loc.dtype == jnp.float32
+    # the train-path model still emits f32 scores
+    tpreds = net.apply(variables, images, train=False)
+    assert tpreds.conf.dtype == jnp.float32
+
+
+def test_pool_chain_quantization_is_bit_exact():
+    """Chained (producer emits int8 at consumer scale, pool on int8) vs
+    unchained int8 serving must be BIT-identical: round/clip are monotone,
+    so they commute with relu and max-pool."""
+    from ct_tpu.models.rfbnet import vgg_pool_chains
+
+    task = resolve_task(2, "transfer", "ours", "VOC")
+    net = build_net(task, 64)
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 50)
+
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         train=False)
+    folded = fold_variables(variables)
+    fnet = dataclasses.replace(net, fold_bn=True)
+    calib = calibrate(fnet, folded, [images])
+
+    chains = vgg_pool_chains(64)
+    assert chains, "tiny plan must still have pool boundaries"
+    q_plain = quantize_variables(folded["params"], calib)
+    q_chain = quantize_variables(folded["params"], calib, chains=chains)
+    assert any("out_scale" in q_chain.get(p, {}) for p, _ in chains)
+
+    a = fnet.apply(dict(folded, quant=q_plain), images, train=False)
+    b = fnet.apply(dict(folded, quant=q_chain), images, train=False)
+    for name in ("loc", "conf", "obj", "conf_feat"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name)
