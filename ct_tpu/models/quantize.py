@@ -38,6 +38,12 @@ SKIP_DEFAULT = (r"^(loc|conf|obj)_\d+$", r"^(theta|phi|g|fc_base)$")
 # is measured on the decisive-mAP parity model (docs/PARITY.md).
 SKIP_LOC_OBJ = (r"^(loc|obj)_\d+$", r"^(theta|phi|g|fc_base)$")
 
+# all head convs int8 (CT projections stay float): loc adds ~±1 px of
+# per-channel rounding to the regressed offsets, obj ~1% to the
+# objectness gate — both measured on the decisive-mAP parity model
+# before this config is used anywhere (docs/PARITY.md)
+SKIP_CT_ONLY = (r"^(theta|phi|g|fc_base)$",)
+
 
 def calibrate(net, variables: Dict[str, Any],
               batches: Iterable[jnp.ndarray]) -> Dict[str, Any]:

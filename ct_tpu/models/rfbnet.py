@@ -230,6 +230,13 @@ class RFBNet(nn.Module):
         loc, conf, obj, conf_pool = [], [], [], []
         ct_pool = CT_POOL[self.size]
         b = x.shape[0]
+        # serving-fused CT: keep the per-anchor logits CLASS-MAJOR
+        # ([B, C, P], anchors on the 128-lane axis). Row-major [B, P, 60]
+        # pads 60 → 128 lanes (2.1× HBM) on the concat and on every kernel
+        # read; the fused kernel computes transposed throughout.
+        serving_ct = (
+            task.has_ct_head and self.use_pallas_ct and self.fold_bn
+        )
         for i, s in enumerate(sources):
             a = mbox(self.size)[i]
             head = lambda c, name: Conv2d(
@@ -238,7 +245,8 @@ class RFBNet(nn.Module):
             )(s)
             loc.append(head(4, f"loc_{i}").reshape(b, -1, 4))
             cmap = head(src_c, f"conf_{i}")
-            conf.append(cmap.reshape(b, -1, src_c))
+            flat = cmap.reshape(b, -1, src_c)
+            conf.append(jnp.moveaxis(flat, -1, 1) if serving_ct else flat)
             obj.append(head(2, f"obj_{i}").reshape(b, -1, 2))
             if task.has_ct_head:
                 pooled = max_pool2d(cmap, ct_pool[i], ct_pool[i],
@@ -246,14 +254,20 @@ class RFBNet(nn.Module):
                 conf_pool.append(pooled.reshape(b, -1, src_c))
 
         loc = jnp.concatenate(loc, axis=1)
-        conf_feat = jnp.concatenate(conf, axis=1)
         obj = jnp.concatenate(obj, axis=1)
 
-        if task.has_ct_head:
+        if serving_ct:
+            conf_cm = jnp.concatenate(conf, axis=2)        # [B, C, P]
+            conf_feat = jnp.moveaxis(conf_cm, 1, -1)       # dead in eval
             keys = jnp.concatenate(conf_pool, axis=1)
-            conf_out = self._context_transformer(conf_feat, keys)
+            conf_out = self._context_transformer_serving(conf_cm, keys)
         else:
-            conf_out = conf_feat
+            conf_feat = jnp.concatenate(conf, axis=1)
+            if task.has_ct_head:
+                keys = jnp.concatenate(conf_pool, axis=1)
+                conf_out = self._context_transformer(conf_feat, keys)
+            else:
+                conf_out = conf_feat
 
         # serving (fold_bn): conf/obj stay in the compute dtype — the f32
         # upcast of [B, 11620, 60] materialized an extra 357 MB/batch-128
@@ -289,44 +303,22 @@ class RFBNet(nn.Module):
         v = dense("g")(keys) + keys                # [B, K, C]
 
         wz = self.param("Wz", nn.initializers.zeros, (c,))
-        n_novel = (
-            task.num_classes - 1 if task.setting == "transfer"
-            else task.num_classes - 1 - task.src_cls_dim
-        )
-        obj_target = self.param(
-            "OBJ_Target",
-            nn.initializers.normal(0.02),
-            (n_novel, c),
-        )  # rows are class prototypes, like the torch Linear weight
+        obj_target = self._obj_target()
 
         from ct_tpu.ops.ct_attention import (
-            ct_attention, ct_attention_reference, ct_attention_serving,
+            ct_attention, ct_attention_reference,
         )
 
-        if self.use_pallas_ct and self.fold_bn:
-            # serving: one fused kernel runs θ-projection → attention →
-            # residual → ℓ2-normalize → cosine classifier, reading conf
-            # once (the unfused chain materializes q/novel at [B, P, C]
-            # through HBM five times — profiled ≈3 ms/batch-128)
-            dense("theta")(conf[:, :1])   # create/locate θ params only
-            th = self.get_variable("params", "theta")
-            novel = ct_attention_serving(
-                conf, k, v,
-                th["kernel"].astype(conf.dtype),
-                th["bias"].astype(jnp.float32),
-                wz, obj_target.astype(conf.dtype),
-            )
+        q = dense("theta")(conf) + conf            # [B, P, C]
+        if self.use_pallas_ct:
+            novel = ct_attention(q, k, v, conf, wz)
         else:
-            q = dense("theta")(conf) + conf        # [B, P, C]
-            if self.use_pallas_ct:
-                novel = ct_attention(q, k, v, conf, wz)
-            else:
-                novel = ct_attention_reference(q, k, v, conf, wz)
-            novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
-            novel = jnp.einsum(
-                "bpc,nc->bpn", novel, obj_target,
-                preferred_element_type=jnp.float32,
-            ) * 5.0
+            novel = ct_attention_reference(q, k, v, conf, wz)
+        novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
+        novel = jnp.einsum(
+            "bpc,nc->bpn", novel, obj_target,
+            preferred_element_type=jnp.float32,
+        ) * 5.0
 
         if task.setting == "incre":
             base = nn.Dense(
@@ -335,6 +327,63 @@ class RFBNet(nn.Module):
             )(conf) + conf
             return jnp.concatenate([base, novel], axis=-1)
         return novel
+
+    def _obj_target(self) -> jnp.ndarray:
+        task = self.task
+        n_novel = (
+            task.num_classes - 1 if task.setting == "transfer"
+            else task.num_classes - 1 - task.src_cls_dim
+        )
+        return self.param(
+            "OBJ_Target",
+            nn.initializers.normal(0.02),
+            (n_novel, task.src_cls_dim),
+        )  # rows are class prototypes, like the torch Linear weight
+
+    def _context_transformer_serving(
+        self, conf_cm: jnp.ndarray, keys: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Serving-only CT head: one fused kernel runs θ-projection →
+        attention → residual → ℓ2-normalize → cosine classifier, reading
+        the class-major conf once (the unfused chain materializes q/novel
+        at [B, P, C] through HBM five times — profiled ≈3 ms/batch-128).
+        ``conf_cm`` is [B, C, P]; returns logical [B, P, num_out]."""
+        task = self.task
+        c = task.src_cls_dim
+        dense = lambda name: nn.Dense(
+            c, use_bias=True, dtype=self.dtype, name=name,
+            kernel_init=nn.initializers.he_normal(),
+        )
+        k = dense("phi")(keys) + keys              # [B, K, C]
+        v = dense("g")(keys) + keys                # [B, K, C]
+        wz = self.param("Wz", nn.initializers.zeros, (c,))
+        obj_target = self._obj_target()
+
+        from ct_tpu.ops.ct_attention import ct_attention_serving
+
+        dense("theta")(keys[:, :1])   # create/locate θ params only
+        th = self.get_variable("params", "theta")
+        dtype = conf_cm.dtype
+        novel_cm = ct_attention_serving(
+            conf_cm, k, v,
+            th["kernel"].astype(dtype),
+            th["bias"].astype(jnp.float32),
+            wz, obj_target.astype(dtype),
+        )                                          # [B, N, P]
+        if task.setting == "incre":
+            fb = nn.Dense(         # zeros-init kernel, like the torch head
+                c, use_bias=True, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="fc_base",
+            )
+            fb(keys[:, :1])        # create/locate params only
+            fbp = self.get_variable("params", "fc_base")
+            base_cm = jnp.einsum(
+                "dc,bcp->bdp", fbp["kernel"].astype(dtype).T, conf_cm,
+            ) + fbp["bias"].astype(dtype)[None, :, None] + conf_cm
+            out_cm = jnp.concatenate([base_cm, novel_cm], axis=1)
+        else:
+            out_cm = novel_cm
+        return jnp.moveaxis(out_cm, 1, -1)
 
 
 def build_net(task: TaskSpec, size: int = 300,

@@ -129,11 +129,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
       dq  = dS k,  dk = dSᵀ q,  dwz = Σ_p g ⊙ (attn v)
     """
     j = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)        # [bq, C]
-    k = k_ref[0].astype(jnp.float32)        # [K, C]
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)        # [bq, C]
-    wz = wz_ref[0, :].astype(jnp.float32)   # [C]
+    # matmul OPERANDS stay in the input dtype (bf16 on TPU — f32 operands
+    # ran the five backward matmuls at 1/4 MXU rate, profiled 16.3 ms vs
+    # ~9 in bf16 at batch 64); accumulation and softmax statistics are f32
+    # via preferred_element_type
+    mm_t = q_ref.dtype
+    q = q_ref[0]                             # [bq, C]
+    k = k_ref[0]                             # [K, C]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)         # [bq, C]
+    wz = wz_ref[0, :].astype(jnp.float32)    # [C]
     bq = q.shape[0]
 
     # rows past the true P (padded final block) must not contribute; note
@@ -142,7 +147,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
     # masked — not just the attention rows
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     live = (j * bq + row_ids) < p_total      # [bq, 1]
-    q = jnp.where(live, q, 0.0)
+    q = jnp.where(live, q, jnp.zeros((), q.dtype))
     g = jnp.where(live, g, 0.0)
 
     s = jax.lax.dot_general(
@@ -152,26 +157,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
     e = jnp.exp(s - s_max)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
     attn = jnp.where(live, attn, 0.0)        # kill padded rows (may be nan)
-    gv = jnp.where(live, g * wz, 0.0)        # [bq, C]
+    attn_m = attn.astype(mm_t)
+    gv = jnp.where(live, g * wz, 0.0)        # [bq, C] f32
+    gv_m = gv.astype(mm_t)
 
     dv_blk = jax.lax.dot_general(            # attnᵀ @ gv → [K, C]
-        attn, gv, (((0,), (0,)), ((), ())),
+        attn_m, gv_m, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dattn = jax.lax.dot_general(             # gv @ vᵀ → [bq, K]
-        gv, v, (((1,), (1,)), ((), ())),
+        gv_m, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     rowsum = jnp.sum(attn * dattn, axis=-1, keepdims=True)
-    ds = attn * (dattn - rowsum)             # [bq, K]
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)      # [bq, C]
+    ds = attn * (dattn - rowsum)             # [bq, K] f32
+    ds_m = ds.astype(mm_t)
+    dq = jnp.dot(ds_m, k, preferred_element_type=jnp.float32)    # [bq, C]
     dk_blk = jax.lax.dot_general(            # dsᵀ @ q → [K, C]
-        ds, q, (((0,), (0,)), ((), ())),
+        ds_m, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    delta = jnp.dot(attn, v, preferred_element_type=jnp.float32)
-    g_live = jnp.where(live, g, 0.0)
-    dwz_blk = jnp.sum(g_live * delta, axis=0, keepdims=True)     # [1, C]
+    delta = jnp.dot(attn_m, v, preferred_element_type=jnp.float32)
+    dwz_blk = jnp.sum(g * delta, axis=0, keepdims=True)          # [1, C]
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
@@ -236,46 +243,51 @@ def _serving_kernel(conf_ref, k_ref, v_ref, wt_ref, bt_ref, wz_ref,
         novel  = conf + softmax(q kᵀ) v ∘ wz    (attention delta)
         out    = (novel / ‖novel‖₂) @ OBJᵀ · scale   (cosine classifier)
 
-    One HBM read of the conf block and one [bq, N] write replace the
+    One HBM read of the conf block and one class-major write replace the
     unfused chain's five [B, P, C]-sized HBM round-trips (θ-projection
     materialization, separate q/base reads, novel write + normalize/einsum
     re-read — profiled ≈3 ms/batch-128 on top of the attention kernel).
-    Training keeps the unfused path + custom_vjp."""
-    conf = conf_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    Training keeps the unfused path + custom_vjp.
+
+    Everything is computed TRANSPOSED (anchors on the 128-lane axis): the
+    tiny class dims (C=60, C+1, N) live on sublanes, so no tensor — in
+    HBM or VMEM — pays 128-lane padding on a small axis. Blocks:
+    conf [1, C, bq]; k [1, C, K]; v [1, C+1, K] (v with a ones row, so one
+    MXU op yields the unnormalized delta AND the softmax denominator);
+    wt = Wθᵀ [C, C]; bt/wz [C, 1]; obj [N, C]; out [1, N, bq]."""
+    conf = conf_ref[0]                                      # [C, bq]
+    k = k_ref[0]                                            # [C, K]
+    v = v_ref[0]                                            # [C+1, K]
 
     q = (
-        jax.lax.dot_general(conf, wt_ref[...],
+        jax.lax.dot_general(wt_ref[...], conf,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        + bt_ref[0, :] + conf.astype(jnp.float32)
-    ).astype(conf.dtype)
+        + bt_ref[...] + conf.astype(jnp.float32)
+    ).astype(conf.dtype)                                    # [C, bq]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        k, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                       # [bq, K] f32
-    s_max = jnp.max(s, axis=-1, keepdims=True)
+    )                                                       # [K, bq] f32
+    s_max = jnp.max(s, axis=0, keepdims=True)
     e = jnp.exp(s - s_max)
-    dd = jnp.dot(e.astype(v.dtype), v,
-                 preferred_element_type=jnp.float32)        # [bq, C+1]
-    delta = dd[:, :-1] / dd[:, -1:]
-    novel = conf.astype(jnp.float32) + delta * wz_ref[0, :]
-    inv = jax.lax.rsqrt(jnp.sum(novel * novel, axis=-1, keepdims=True))
+    dd = jax.lax.dot_general(
+        v, e.astype(v.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [C+1, bq]
+    delta = dd[:-1, :] / dd[-1:, :]
+    novel = conf.astype(jnp.float32) + delta * wz_ref[...]
+    inv = jax.lax.rsqrt(jnp.sum(novel * novel, axis=0, keepdims=True))
     novel = (novel * inv).astype(conf.dtype)
     out = jax.lax.dot_general(
-        obj_ref[...], novel, (((1,), (1,)), ((), ())),
+        obj_ref[...], novel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                               # [N, bq]
-    # class-major output: N is tiny (5/20), so a row-major [B, P, N] array
-    # puts it on the 128-lane axis — 6.4× padded HBM footprint that every
-    # downstream score pass re-pays (profiled: +7 ms/batch-128 softmax/
-    # fuse fusion). [B, N, P] keeps the anchor axis on the lanes.
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 def ct_attention_serving(
-    conf: jnp.ndarray,        # [B, P, C] pre-CT source-class logits
+    conf_cm: jnp.ndarray,     # [B, C, P] pre-CT logits, class-major
     k: jnp.ndarray,           # [B, K, C] φ(keys)+keys
     v: jnp.ndarray,           # [B, K, C] g(keys)+keys
     w_theta: jnp.ndarray,     # [C, C]
@@ -286,42 +298,44 @@ def ct_attention_serving(
     block_q: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """→ [B, P, N] cosine-classifier scores (see _serving_kernel)."""
-    b, p, c = conf.shape
+    """→ [B, N, P] cosine-classifier scores, class-major
+    (see _serving_kernel). Callers ``jnp.moveaxis(out, 1, -1)`` for the
+    logical [B, P, N]; XLA keeps the class-major physical layout for the
+    downstream score passes, so that is a bitcast rather than a copy."""
+    b, c, p = conf_cm.shape
     kk = k.shape[1]
     n = obj_target.shape[0]
     block_q = _fit_block_q(block_q, kk)
     v_aug = jnp.concatenate(
         [v, jnp.ones((b, kk, 1), v.dtype)], axis=-1)
-    qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
+    k_cm = jnp.moveaxis(k, -1, 1)          # [B, C, K]   (tiny relayouts —
+    v_cm = jnp.moveaxis(v_aug, -1, 1)      # [B, C+1, K]  K·C ≈ 0.2 MB/img)
+    qspec = pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
+    kspec = pl.BlockSpec((1, c, kk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, kk, c + 1), lambda i, j: (i, 0, 0),
+    vspec = pl.BlockSpec((1, c + 1, kk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     rep = lambda *shape: pl.BlockSpec(
         shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
-    out_cm = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_serving_kernel, scale=scale),
         grid=(b, pl.cdiv(p, block_q)),
         in_specs=[
             qspec, kspec, vspec,
-            rep(c, c), rep(1, c), rep(1, c), rep(n, c),
+            rep(c, c), rep(c, 1), rep(c, 1), rep(n, c),
         ],
         out_specs=pl.BlockSpec((1, n, block_q), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, p), conf.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, p), conf_cm.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * p * c * (2 * kk + c + n),
             bytes_accessed=2 * b * (p * c + 2 * kk * c + p * n),
             transcendentals=b * p * kk,
         ),
         interpret=interpret,
-    )(conf, k, v_aug, w_theta, b_theta[None, :], wz[None, :], obj_target)
-    # logical [B, P, N] for the caller; XLA keeps the class-major physical
-    # layout ({0,2,1}) for the downstream score passes, so this is a
-    # bitcast rather than a copy
-    return jnp.moveaxis(out_cm, 1, -1)
+    )(conf_cm, k_cm, v_cm, w_theta.T, b_theta[:, None], wz[:, None],
+      obj_target)
 
 
 def _fwd(q, k, v, base, wz, block_q, interpret):

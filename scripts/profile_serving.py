@@ -31,7 +31,7 @@ def main():
     from ct_tpu.models import build_net
     from ct_tpu.models.fold_bn import fold_variables
     from ct_tpu.models.quantize import (
-        SKIP_LOC_OBJ, calibrate, quantize_variables,
+        SKIP_CT_ONLY, calibrate, quantize_variables,
     )
     from ct_tpu.ops.priors import prior_boxes
     from ct_tpu.train.step import init_train_state, make_eval_step
@@ -57,7 +57,7 @@ def main():
 
     calib = calibrate(fnet, folded, [images[:8]])
     quant = jax.device_put(quantize_variables(
-        folded["params"], calib, skip=SKIP_LOC_OBJ,
+        folded["params"], calib, skip=SKIP_CT_ONLY,
         chains=vgg_pool_chains(300)))
     eval_step = make_eval_step(fnet, priors, approx_top_k=True, top_k=128,
                                pool_size=512, quant=quant)

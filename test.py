@@ -70,8 +70,9 @@ def parse_args(argv=None):
                         help="Number of train-split images used for int8 "
                              "activation-range calibration")
     parser.add_argument("--int8-heads", action="store_true",
-                        help="With --int8: also quantize the conf head "
-                             "convs (the widest heads); loc/obj stay float")
+                        help="With --int8: also quantize the loc/conf/obj "
+                             "head convs (the bench serving config; "
+                             "fidelity measured on the parity model)")
     return parser.parse_args(argv)
 
 
@@ -344,7 +345,7 @@ def main(argv=None):
 
         from ct_tpu.models.fold_bn import fold_variables
         from ct_tpu.models.quantize import (
-            SKIP_DEFAULT, SKIP_LOC_OBJ, calibrate, quantize_variables,
+            SKIP_CT_ONLY, SKIP_DEFAULT, calibrate, quantize_variables,
         )
         from ct_tpu.models.rfbnet import vgg_pool_chains
 
@@ -355,7 +356,7 @@ def main(argv=None):
         calib = calibrate(net, variables, [cal_images])
         quant = quantize_variables(
             variables["params"], calib,
-            skip=SKIP_LOC_OBJ if args.int8_heads else SKIP_DEFAULT,
+            skip=SKIP_CT_ONLY if args.int8_heads else SKIP_DEFAULT,
             chains=vgg_pool_chains(args.size))
         n_q = sum(
             1 for path, _ in jtu.tree_leaves_with_path(quant)

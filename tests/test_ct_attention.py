@@ -90,7 +90,9 @@ def test_serving_kernel_matches_unfused_chain():
     novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
     ref = jnp.einsum("bpc,nc->bpn", novel, obj) * 5.0
 
-    out = ct_attention_serving(conf, k, v, wt, bt, wz, obj,
-                               block_q=256, interpret=True)
+    conf_cm = jnp.moveaxis(conf, -1, 1)           # class-major input
+    out_cm = ct_attention_serving(conf_cm, k, v, wt, bt, wz, obj,
+                                  block_q=256, interpret=True)
+    out = jnp.moveaxis(out_cm, 1, -1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)

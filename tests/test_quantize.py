@@ -163,3 +163,37 @@ def test_pool_chain_quantization_is_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             err_msg=name)
+
+
+def test_serving_fused_ct_path_matches_unfused(monkeypatch):
+    """fold_bn + use_pallas_ct routes through the fused serving CT kernel
+    (class-major conf); outputs must match the unfused fold_bn path for
+    both transfer and incre heads (interpret-mode Pallas on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    for setting in ("transfer", "incre"):
+        task = resolve_task(2, setting, "ours", "VOC")
+        net = build_net(task, 64)
+        rng = np.random.RandomState(3)
+        images = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 9)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 64, 3)), train=False)
+        # non-degenerate CT params (fresh init has Wz=0, OBJ tiny)
+        variables["params"]["Wz"] = jnp.asarray(
+            rng.randn(task.src_cls_dim).astype(np.float32) * 0.3)
+        variables["params"]["OBJ_Target"] = jnp.asarray(
+            rng.randn(*variables["params"]["OBJ_Target"].shape)
+            .astype(np.float32))
+        folded = fold_variables(variables)
+
+        ref_net = dataclasses.replace(net, fold_bn=True)
+        ref = ref_net.apply(folded, images, train=False)
+        fused_net = dataclasses.replace(net, fold_bn=True,
+                                        use_pallas_ct=True)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_net.apply(folded, images, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got.conf), np.asarray(ref.conf),
+            rtol=5e-4, atol=5e-4, err_msg=setting)
+        np.testing.assert_array_equal(np.asarray(got.loc),
+                                      np.asarray(ref.loc))

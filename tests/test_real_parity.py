@@ -61,7 +61,8 @@ def test_serving_config_fidelity_at_decisive_map():
     with open(os.path.join(PARITY, "ours_eval.json")) as f:
         exact = json.load(f)["mAP"]
     for name, tol in (("ours_eval_int8", 0.02),
-                      ("ours_eval_bf16_approx_pool", 0.02)):
+                      ("ours_eval_bf16_approx_pool", 0.02),
+                      ("ours_eval_int8h_bf16_approx_pool", 0.02)):
         path = os.path.join(PARITY, name + ".json")
         if not os.path.exists(path):
             pytest.skip(f"{name} not produced")
