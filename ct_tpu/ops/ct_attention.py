@@ -157,6 +157,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
     e = jnp.exp(s - s_max)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
     attn = jnp.where(live, attn, 0.0)        # kill padded rows (may be nan)
+    # only the mm_t copy of attn stays live past this point — the f32
+    # [bq, K] intermediates (s/e/attn) are transient, which is what lets
+    # the backward run at block_q 512 instead of 256 (grid-step overhead
+    # halves) inside the ~16 MB VMEM budget
     attn_m = attn.astype(mm_t)
     gv = jnp.where(live, g * wz, 0.0)        # [bq, C] f32
     gv_m = gv.astype(mm_t)
@@ -169,9 +173,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
         gv_m, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rowsum = jnp.sum(attn * dattn, axis=-1, keepdims=True)
-    ds = attn * (dattn - rowsum)             # [bq, K] f32
-    ds_m = ds.astype(mm_t)
+    af = attn_m.astype(jnp.float32)
+    rowsum = jnp.sum(af * dattn, axis=-1, keepdims=True)
+    ds_m = (af * (dattn - rowsum)).astype(mm_t)   # [bq, K]
     dq = jnp.dot(ds_m, k, preferred_element_type=jnp.float32)    # [bq, C]
     dk_blk = jax.lax.dot_general(            # dsᵀ @ q → [K, C]
         ds_m, q, (((0,), (0,)), ((), ())),
@@ -195,12 +199,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
         dwz_ref[0] = dwz_ref[0] + dwz_blk.astype(dwz_ref.dtype)
 
 
-def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 256,
+def _fit_block_q_bwd(block_q: int, kk: int) -> int:
+    """Backward VMEM budget: ≈10 bytes/element of [bq, K] live at peak
+    (one f32 intermediate + bf16 attn/ds + f32 dattn with the f32
+    s/e freed early) → K=1858 admits bq=512; K=4964 (@512 res) bq=256."""
+    while block_q > 128 and block_q * kk * 10 > 15_500_000:
+        block_q //= 2
+    return block_q
+
+
+def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 512,
                             interpret: bool = False):
     """→ (dq, dk, dv, dwz) via the blockwise Pallas backward."""
     b, p, c = q.shape
     kk = k.shape[1]
-    block_q = _fit_block_q(block_q, kk)
+    block_q = _fit_block_q_bwd(block_q, kk)
     qspec = pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, kk, c), lambda i, j: (i, 0, 0),
@@ -345,7 +358,7 @@ def _fwd(q, k, v, base, wz, block_q, interpret):
 def _bwd(block_q, interpret, residuals, g):
     q, k, v, wz = residuals
     dq, dk, dv, dwz = ct_attention_bwd_pallas(
-        q, k, v, wz, g, min(block_q, 256), interpret
+        q, k, v, wz, g, min(block_q, 512), interpret
     )
     # d/d(base) of (base + delta·wz) is the upstream cotangent itself
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),

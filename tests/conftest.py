@@ -40,6 +40,15 @@ def has_reference() -> bool:
 
 def import_reference():
     """Put the read-only reference implementation on sys.path so tests can
-    use it as a parity oracle (never as a code source)."""
+    use it as a parity oracle (never as a code source).
+
+    APPEND, don't prepend: the reference repo has top-level ``train``/
+    ``test`` modules that collide with ours. Its oracle packages
+    (``models``/``layers``/``utils``/``data``) have no counterpart at our
+    repo root, so they resolve fine from the back of the path; with the
+    reference in FRONT, any later ``import train``/``import test`` in the
+    same pytest process imported the reference CLI instead of ours (found
+    by the gated suite: 5 ImportErrors once the oracle tests and the CLI
+    e2e tests shared a process)."""
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
