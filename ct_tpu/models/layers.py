@@ -15,6 +15,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Tuple, Union
 
@@ -27,6 +28,55 @@ Ints = Union[int, Tuple[int, int]]
 
 def _pair(v: Ints) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool_nonoverlap(x, kernel, extra):
+    """Max pool with window == stride and no leading padding (the VGG 2×2/s2
+    pools and the CT context pools; ``extra`` = trailing ceil-mode pad).
+
+    Exists for its VJP: XLA's max-pool gradient lowers to a windowed
+    select-and-scatter pass that cannot fuse with its neighbors. With
+    disjoint windows the gradient is purely elementwise — upsample y,
+    compare, split g over the window's argmax set — which XLA fuses into
+    the surrounding backward. Tie semantics: g is split EQUALLY among
+    tied maxima (torch routes it to the first). Ties are zero-measure for
+    float activations except on post-ReLU zero plateaus, where the
+    upstream ReLU backward zeroes the incoming gradient anyway.
+    """
+    kh, kw = kernel
+    eh, ew = extra
+    return nn.max_pool(x, (kh, kw), strides=(kh, kw),
+                       padding=((0, eh), (0, ew)))
+
+
+def _max_pool_nonoverlap_fwd(x, kernel, extra):
+    y = _max_pool_nonoverlap(x, kernel, extra)
+    return y, (x, y)
+
+
+def _max_pool_nonoverlap_bwd(kernel, extra, res, g):
+    x, y = res
+    kh, kw = kernel
+    eh, ew = extra
+    b, h, w, c = x.shape
+    ho, wo = y.shape[1], y.shape[2]
+    if eh or ew:
+        x = jnp.pad(x, ((0, 0), (0, eh), (0, ew), (0, 0)),
+                    constant_values=jnp.asarray(-jnp.inf, x.dtype))
+    xr = x.reshape(b, ho, kh, wo, kw, c)
+    eq = xr == y[:, :, None, :, None, :]
+    cnt = jnp.sum(eq, axis=(2, 4), keepdims=True).astype(g.dtype)
+    dx = jnp.where(eq, (g / jnp.squeeze(cnt, (2, 4)))
+                   [:, :, None, :, None, :], 0).astype(x.dtype)
+    dx = dx.reshape(b, ho * kh, wo * kw, c)
+    if eh or ew:
+        dx = dx[:, :h, :w, :]
+    return (dx,)
+
+
+_max_pool_nonoverlap.defvjp(_max_pool_nonoverlap_fwd,
+                            _max_pool_nonoverlap_bwd)
 
 
 def max_pool2d(
@@ -54,6 +104,12 @@ def max_pool2d(
         return max(0, needed)
 
     pads = ((ph, ph + extra(h, kh, sh, ph)), (pw, pw + extra(w, kw, sw, pw)))
+    if ((kh, kw) == (sh, sw) and (ph, pw) == (0, 0)
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        # disjoint windows: fused elementwise backward (see
+        # _max_pool_nonoverlap) — covers every pool in this model except
+        # the tiny 19×19 pool5 (3×3 stride 1)
+        return _max_pool_nonoverlap(x, (kh, kw), (pads[0][1], pads[1][1]))
     if x.dtype == jnp.int8:
         # int8 serving path (chained quantization across pools): flax's
         # nn.max_pool initializes with -inf, which has no int8 value. Pad

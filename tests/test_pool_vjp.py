@@ -1,0 +1,65 @@
+"""Fused elementwise max-pool backward (disjoint windows) vs XLA's VJP.
+
+`_max_pool_nonoverlap` replaces XLA's windowed select-and-scatter gradient
+with an upsample-compare-split formulation that fuses into the surrounding
+backward (ct_tpu/models/layers.py). Forward must be bit-identical to the
+generic path; gradients must match wherever window maxima are unique, and
+split the cotangent (gradient mass conserved) on ties.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ct_tpu.models.layers import max_pool2d
+
+
+def _ref_pool(x, k, s, pads):
+    return nn.max_pool(x, k, strides=s, padding=pads)
+
+
+def test_forward_matches_generic_path():
+    rng = np.random.RandomState(0)
+    for h, k, ceil in ((16, 2, False), (75, 2, True), (9, 3, False)):
+        x = jnp.asarray(rng.randn(2, h, h, 5).astype(np.float32))
+        got = max_pool2d(x, k, k, 0, ceil_mode=ceil)
+        extra = (k - h % k) % k if ceil else 0
+        want = _ref_pool(x, (k, k), (k, k), ((0, extra), (0, extra)))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_grad_matches_xla_when_maxima_unique():
+    rng = np.random.RandomState(1)
+    for h, k, ceil in ((16, 2, False), (75, 2, True), (9, 3, False)):
+        # iid continuous draws: ties have probability 0
+        x = jnp.asarray(rng.randn(2, h, h, 5).astype(np.float32))
+        extra = (k - h % k) % k if ceil else 0
+
+        def loss_fast(x):
+            return jnp.sum(max_pool2d(x, k, k, 0, ceil_mode=ceil) ** 2)
+
+        def loss_ref(x):
+            return jnp.sum(
+                _ref_pool(x, (k, k), (k, k), ((0, extra), (0, extra))) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fast)(x)),
+            np.asarray(jax.grad(loss_ref)(x)), rtol=1e-6, atol=1e-6)
+
+
+def test_tie_gradient_is_split_and_conserved():
+    # a window of four equal values: each gets g/4; total mass preserved
+    x = jnp.zeros((1, 2, 2, 1), jnp.float32)
+    g = jax.grad(lambda x: 3.0 * jnp.sum(max_pool2d(x, 2, 2, 0)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.full((1, 2, 2, 1), 0.75))
+
+
+def test_ceil_padding_gets_no_gradient_leak():
+    # 3→2 windows with ceil: the padded column/row must not absorb mass
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 3, 3, 2).astype(np.float32))
+    g = jax.grad(lambda x: jnp.sum(max_pool2d(x, 2, 2, 0, ceil_mode=True)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # 2×2 windows per channel × 2 channels: each contributes exactly 1.0
+    np.testing.assert_allclose(float(jnp.sum(g)), 8.0, rtol=1e-6)
