@@ -79,6 +79,50 @@ _max_pool_nonoverlap.defvjp(_max_pool_nonoverlap_fwd,
                             _max_pool_nonoverlap_bwd)
 
 
+@jax.custom_vjp
+def _max_pool_3x3_s1_p1(x):
+    """3×3 / stride-1 / pad-1 max pool (VGG pool5) with a stencil VJP.
+
+    Overlapping windows: input i contributes to the 9 windows w = i + d,
+    d ∈ {−1,0,1}². The gradient is a 9-tap stencil of elementwise
+    compares — XLA fuses the shifted slices — instead of the windowed
+    select-and-gather lowering. Same equal-split tie semantics as
+    `_max_pool_nonoverlap`.
+    """
+    return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+
+
+def _max_pool_3x3_s1_p1_fwd(x):
+    y = _max_pool_3x3_s1_p1(x)
+    return y, (x, y)
+
+
+def _max_pool_3x3_s1_p1_bwd(res, g):
+    x, y = res
+    h, wd = x.shape[1], x.shape[2]
+    ninf = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=ninf)
+    # cnt[w] = |argmax set of window w|
+    cnt = sum(
+        (xp[:, dh:dh + h, dw:dw + wd, :] == y)
+        for dh in range(3) for dw in range(3)
+    ).astype(g.dtype)
+    gc = g / cnt
+    gcp = jnp.pad(gc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # +inf pad: out-of-range windows can never match, so they contribute 0
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=jnp.asarray(jnp.inf, y.dtype))
+    dx = sum(
+        jnp.where(x == yp[:, dh:dh + h, dw:dw + wd, :],
+                  gcp[:, dh:dh + h, dw:dw + wd, :], 0)
+        for dh in range(3) for dw in range(3)
+    ).astype(x.dtype)
+    return (dx,)
+
+
+_max_pool_3x3_s1_p1.defvjp(_max_pool_3x3_s1_p1_fwd, _max_pool_3x3_s1_p1_bwd)
+
+
 def max_pool2d(
     x: jnp.ndarray,
     kernel: Ints,
@@ -108,8 +152,11 @@ def max_pool2d(
             and jnp.issubdtype(x.dtype, jnp.floating)):
         # disjoint windows: fused elementwise backward (see
         # _max_pool_nonoverlap) — covers every pool in this model except
-        # the tiny 19×19 pool5 (3×3 stride 1)
+        # the 19×19 pool5 (3×3 stride 1), handled just below
         return _max_pool_nonoverlap(x, (kh, kw), (pads[0][1], pads[1][1]))
+    if ((kh, kw, sh, sw, ph, pw) == (3, 3, 1, 1, 1, 1)
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return _max_pool_3x3_s1_p1(x)
     if x.dtype == jnp.int8:
         # int8 serving path (chained quantization across pools): flax's
         # nn.max_pool initializes with -inf, which has no int8 value. Pad

@@ -48,6 +48,33 @@ def test_grad_matches_xla_when_maxima_unique():
             np.asarray(jax.grad(loss_ref)(x)), rtol=1e-6, atol=1e-6)
 
 
+def test_overlap_3x3_s1_forward_and_grad_match_xla():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 19, 19, 7).astype(np.float32))
+    got = max_pool2d(x, 3, 1, 1)
+    want = _ref_pool(x, (3, 3), (1, 1), ((1, 1), (1, 1)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def loss_fast(x):
+        return jnp.sum(jnp.tanh(max_pool2d(x, 3, 1, 1)))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.tanh(
+            _ref_pool(x, (3, 3), (1, 1), ((1, 1), (1, 1)))))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fast)(x)),
+        np.asarray(jax.grad(loss_ref)(x)), rtol=1e-6, atol=1e-6)
+
+
+def test_overlap_tie_gradient_mass_conserved():
+    # constant input: every window's 9 (or fewer at borders) entries tie;
+    # the summed dx must equal the summed upstream cotangent
+    x = jnp.ones((1, 5, 5, 2), jnp.float32)
+    g = jax.grad(lambda x: 2.0 * jnp.sum(max_pool2d(x, 3, 1, 1)))(x)
+    np.testing.assert_allclose(float(jnp.sum(g)), 2.0 * 5 * 5 * 2, rtol=1e-5)
+
+
 def test_tie_gradient_is_split_and_conserved():
     # a window of four equal values: each gets g/4; total mass preserved
     x = jnp.zeros((1, 2, 2, 1), jnp.float32)
