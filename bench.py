@@ -88,8 +88,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ct_tpu.utils.cache import enable_compilation_cache
+    from ct_tpu.utils.cache import (
+        enable_compilation_cache, require_tpu_tunnel,
+    )
 
+    require_tpu_tunnel()
     enable_compilation_cache()
 
     from ct_tpu.config import VOC_300, resolve_task

@@ -25,3 +25,30 @@ def enable_compilation_cache(path: str = DEFAULT_DIR) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # pragma: no cover - older jax or read-only fs
         pass
+
+
+def require_tpu_tunnel(port: int = 8083, timeout: float = 2.0) -> None:
+    """Fail fast (clear message, nonzero exit) if the axon TPU tunnel relay
+    is down, instead of hanging forever inside ``jax.devices()``.
+
+    The relay (`/root/.tpu_init.py`, stdio-pumped by the external
+    orchestrator) serves the stateless device-listing RPC on :8083; when it
+    exits, every axon-backend call blocks indefinitely. Only meaningful
+    when the axon backend is the configured platform — CPU runs skip it.
+    """
+    import socket
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    s = socket.socket()
+    s.settimeout(timeout)
+    try:
+        s.connect(("127.0.0.1", port))
+    except OSError:
+        sys.exit(
+            "TPU tunnel relay is down (127.0.0.1:%d refused) — jax.devices()"
+            " would hang. Restore the relay and re-run." % port
+        )
+    finally:
+        s.close()

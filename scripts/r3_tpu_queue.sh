@@ -23,6 +23,10 @@ probe || exit 1
 timeout 2400 python scripts/bench_ct_bwd.py > /tmp/q_ct_bwd.log 2>&1
 tail -8 /tmp/q_ct_bwd.log
 
+# 1b. Layout-tax microbench (C=64 lane padding + wgrad orientation)
+timeout 2400 python scripts/bench_layout.py > /tmp/q_layout.log 2>&1
+grep -E "GB/s|ms|TF" /tmp/q_layout.log | head -12
+
 # 2. Train-step profile with both kernel fixes (CT cm bwd + pool VJP)
 timeout 3000 python scripts/profile_train.py > /tmp/q_ptrain.log 2>&1
 grep -E "Steps=|ms x" /tmp/q_ptrain.log | head -25
