@@ -30,6 +30,33 @@ def _pair(v: Ints) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+@jax.custom_vjp
+def relu_save_out(x):
+    """ReLU whose VJP keys off the OUTPUT instead of the input.
+
+    `jax.nn.relu` saves its input, forcing the pre-activation to persist
+    to HBM next to the activation (which downstream ops need anyway) —
+    at 300²×64 and batch 64 that is an extra ~1.5 GB residual write per
+    layer. The mask is recoverable from the output (x > 0 ⟺ relu(x) > 0,
+    and both give zero gradient at exactly 0), so saving the output is
+    gradient-EXACT and lets XLA fuse conv→bias→relu into one epilogue
+    that materializes only the activation.
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_save_out_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_save_out_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros((), g.dtype)),)
+
+
+relu_save_out.defvjp(_relu_save_out_fwd, _relu_save_out_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _max_pool_nonoverlap(x, kernel, extra):
     """Max pool with window == stride and no leading padding (the VGG 2×2/s2
@@ -303,7 +330,7 @@ class BasicConv(nn.Module):
                 name="bn",
             )(x)
         if self.relu:
-            x = nn.relu(x)
+            x = relu_save_out(x)
         return x
 
 
@@ -345,7 +372,7 @@ class BasicRFB(nn.Module):
         out = BasicConv(self.out_planes, 1, relu=False, name="ConvLinear", **d)(out, train)
         short = BasicConv(self.out_planes, 1, stride=self.stride, relu=False,
                           name="shortcut", **d)(x, train)
-        return nn.relu(out * self.scale + short)
+        return relu_save_out(out * self.scale + short)
 
 
 class BasicRFBa(nn.Module):
@@ -389,4 +416,4 @@ class BasicRFBa(nn.Module):
         out = BasicConv(self.out_planes, 1, relu=False, name="ConvLinear", **d)(out, train)
         short = BasicConv(self.out_planes, 1, stride=self.stride, relu=False,
                           name="shortcut", **d)(x, train)
-        return nn.relu(out * self.scale + short)
+        return relu_save_out(out * self.scale + short)

@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ct_tpu.config import TaskSpec
 from ct_tpu.models.layers import (
-    BasicConv, BasicRFB, BasicRFBa, Conv2d, max_pool2d,
+    BasicConv, BasicRFB, BasicRFBa, Conv2d, max_pool2d, relu_save_out,
 )
 
 
@@ -204,7 +204,7 @@ class RFBNet(nn.Module):
                     kernel_dilation=(spec["dil"],) * 2,
                     use_bias=True, name=f"vgg_{idx}", **dc,
                 )(x)
-                x = nn.relu(x)
+                x = relu_save_out(x)
             else:
                 x = max_pool2d(
                     x, spec["kernel"], spec["stride"],
