@@ -65,11 +65,13 @@ def _max_pool_nonoverlap(x, kernel, extra):
     Exists for its VJP: XLA's max-pool gradient lowers to a windowed
     select-and-scatter pass that cannot fuse with its neighbors. With
     disjoint windows the gradient is purely elementwise — upsample y,
-    compare, split g over the window's argmax set — which XLA fuses into
-    the surrounding backward. Tie semantics: g is split EQUALLY among
-    tied maxima (torch routes it to the first). Ties are zero-measure for
-    float activations except on post-ReLU zero plateaus, where the
-    upstream ReLU backward zeroes the incoming gradient anyway.
+    compare, route g to the FIRST window position matching the max in
+    row-major order — which XLA fuses into the surrounding backward.
+    First-max tie routing matches both torch and XLA's select-and-scatter
+    (select = ge keeps the earlier element), which matters in practice:
+    synthetic constant-color fixtures produce exactly-tied positive
+    values in pool windows, where an equal-split rule measurably changed
+    3-iteration training outcomes (caught by the gated CLI e2e).
     """
     kh, kw = kernel
     eh, ew = extra
@@ -88,17 +90,29 @@ def _max_pool_nonoverlap_bwd(kernel, extra, res, g):
     eh, ew = extra
     b, h, w, c = x.shape
     ho, wo = y.shape[1], y.shape[2]
+    hu, wu = ho * kh, wo * kw   # extent the windows cover
     if eh or ew:
         x = jnp.pad(x, ((0, 0), (0, eh), (0, ew), (0, 0)),
                     constant_values=jnp.asarray(-jnp.inf, x.dtype))
-    xr = x.reshape(b, ho, kh, wo, kw, c)
+    # floor mode with non-divisible size: trailing rows/cols are outside
+    # every window — drop them here, restore as zero-grad at the end
+    xr = x[:, :hu, :wu, :].reshape(b, ho, kh, wo, kw, c)
     eq = xr == y[:, :, None, :, None, :]
-    cnt = jnp.sum(eq, axis=(2, 4), keepdims=True).astype(g.dtype)
-    dx = jnp.where(eq, (g / jnp.squeeze(cnt, (2, 4)))
-                   [:, :, None, :, None, :], 0).astype(x.dtype)
-    dx = dx.reshape(b, ho * kh, wo * kw, c)
-    if eh or ew:
-        dx = dx[:, :h, :w, :]
+    zero = jnp.zeros((), x.dtype)
+    prev = jnp.zeros((b, ho, wo, c), bool)   # any earlier window slot tied?
+    rows = []
+    for dh in range(kh):
+        row = []
+        for dw in range(kw):
+            e = eq[:, :, dh, :, dw, :] & ~prev
+            prev = prev | eq[:, :, dh, :, dw, :]
+            row.append(jnp.where(e, g.astype(x.dtype), zero))
+        rows.append(jnp.stack(row, axis=3))         # [b,ho,wo,kw,c]
+    dx = jnp.stack(rows, axis=2)                    # [b,ho,kh,wo,kw,c]
+    dx = dx.reshape(b, hu, wu, c)[:, :h, :w, :]
+    if hu < h or wu < w:
+        dx = jnp.pad(dx, ((0, 0), (0, max(0, h - hu)),
+                          (0, max(0, w - wu)), (0, 0)))
     return (dx,)
 
 
@@ -113,8 +127,8 @@ def _max_pool_3x3_s1_p1(x):
     Overlapping windows: input i contributes to the 9 windows w = i + d,
     d ∈ {−1,0,1}². The gradient is a 9-tap stencil of elementwise
     compares — XLA fuses the shifted slices — instead of the windowed
-    select-and-gather lowering. Same equal-split tie semantics as
-    `_max_pool_nonoverlap`.
+    select-and-gather lowering. Same first-max (row-major) tie routing
+    as `_max_pool_nonoverlap` (torch/XLA semantics).
     """
     return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
@@ -129,22 +143,23 @@ def _max_pool_3x3_s1_p1_bwd(res, g):
     h, wd = x.shape[1], x.shape[2]
     ninf = jnp.asarray(-jnp.inf, x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=ninf)
-    # cnt[w] = |argmax set of window w|
-    cnt = sum(
-        (xp[:, dh:dh + h, dw:dw + wd, :] == y)
-        for dh in range(3) for dw in range(3)
-    ).astype(g.dtype)
-    gc = g / cnt
-    gcp = jnp.pad(gc, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # +inf pad: out-of-range windows can never match, so they contribute 0
-    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                 constant_values=jnp.asarray(jnp.inf, y.dtype))
-    dx = sum(
-        jnp.where(x == yp[:, dh:dh + h, dw:dw + wd, :],
-                  gcp[:, dh:dh + h, dw:dw + wd, :], 0)
-        for dh in range(3) for dw in range(3)
-    ).astype(x.dtype)
-    return (dx,)
+    # per-window one-hot over the 9 in-window offsets, row-major first-max
+    prev = jnp.zeros(y.shape, bool)
+    gm = {}
+    for oh in range(3):
+        for ow in range(3):
+            eq = xp[:, oh:oh + h, ow:ow + wd, :] == y
+            gm[(oh, ow)] = jnp.where(eq & ~prev, g,
+                                     jnp.zeros((), g.dtype))
+            prev = prev | eq
+    # scatter back: window w = i + d − 1 chose in-window offset 2 − d
+    dx = jnp.zeros(x.shape, g.dtype)
+    for dh in range(3):
+        for dw in range(3):
+            pg = jnp.pad(gm[(2 - dh, 2 - dw)],
+                         ((0, 0), (1, 1), (1, 1), (0, 0)))
+            dx = dx + pg[:, dh:dh + h, dw:dw + wd, :]
+    return (dx.astype(x.dtype),)
 
 
 _max_pool_3x3_s1_p1.defvjp(_max_pool_3x3_s1_p1_fwd, _max_pool_3x3_s1_p1_bwd)
