@@ -230,10 +230,12 @@ class RFBNet(nn.Module):
         loc, conf, obj, conf_pool = [], [], [], []
         ct_pool = CT_POOL[self.size]
         b = x.shape[0]
-        # serving-fused CT: keep the per-anchor logits CLASS-MAJOR
-        # ([B, C, P], anchors on the 128-lane axis). Row-major [B, P, 60]
-        # pads 60 → 128 lanes (2.1× HBM) on the concat and on every kernel
-        # read; the fused kernel computes transposed throughout.
+        # CT head: keep the per-anchor logits CLASS-MAJOR ([B, C, P],
+        # anchors on the 128-lane axis) in BOTH serving and training.
+        # Row-major [B, P, 60] pads 60 → 128 lanes (2.1× HBM) on the
+        # concat and on every downstream read; training additionally pays
+        # it on every backward pass of the θ-projection / attention /
+        # normalize / classifier chain.
         serving_ct = (
             task.has_ct_head and self.use_pallas_ct and self.fold_bn
         )
@@ -246,7 +248,8 @@ class RFBNet(nn.Module):
             loc.append(head(4, f"loc_{i}").reshape(b, -1, 4))
             cmap = head(src_c, f"conf_{i}")
             flat = cmap.reshape(b, -1, src_c)
-            conf.append(jnp.moveaxis(flat, -1, 1) if serving_ct else flat)
+            conf.append(
+                jnp.moveaxis(flat, -1, 1) if task.has_ct_head else flat)
             obj.append(head(2, f"obj_{i}").reshape(b, -1, 2))
             if task.has_ct_head:
                 pooled = max_pool2d(cmap, ct_pool[i], ct_pool[i],
@@ -256,18 +259,18 @@ class RFBNet(nn.Module):
         loc = jnp.concatenate(loc, axis=1)
         obj = jnp.concatenate(obj, axis=1)
 
-        if serving_ct:
+        if task.has_ct_head:
             conf_cm = jnp.concatenate(conf, axis=2)        # [B, C, P]
-            conf_feat = jnp.moveaxis(conf_cm, 1, -1)       # dead in eval
-            keys = jnp.concatenate(conf_pool, axis=1)
-            conf_out = self._context_transformer_serving(conf_cm, keys)
+            conf_feat = jnp.moveaxis(conf_cm, 1, -1)       # dead unless
+            keys = jnp.concatenate(conf_pool, axis=1)      # init_reweight
+            conf_out = (
+                self._context_transformer_serving(conf_cm, keys)
+                if serving_ct
+                else self._context_transformer(conf_cm, keys)
+            )
         else:
             conf_feat = jnp.concatenate(conf, axis=1)
-            if task.has_ct_head:
-                keys = jnp.concatenate(conf_pool, axis=1)
-                conf_out = self._context_transformer(conf_feat, keys)
-            else:
-                conf_out = conf_feat
+            conf_out = conf_feat
 
         # serving (fold_bn): conf/obj stay in the compute dtype — the f32
         # upcast of [B, 11620, 60] materialized an extra 357 MB/batch-128
@@ -284,13 +287,22 @@ class RFBNet(nn.Module):
         )
 
     def _context_transformer(
-        self, conf: jnp.ndarray, keys: jnp.ndarray
+        self, conf_cm: jnp.ndarray, keys: jnp.ndarray
     ) -> jnp.ndarray:
-        """Non-local attention over per-anchor source-class logits.
+        """Non-local attention over per-anchor source-class logits
+        (training / unfused-eval path; reference RFB_Net_vgg.py:253-271).
 
         queries: all P anchors; keys/values: K pooled context anchors.
         Residual linear projections, softmax affinity, Wz-gated delta,
         cosine classifier against OBJ_Target at fixed scale 5.
+
+        Computed CLASS-MAJOR end to end (``conf_cm`` is [B, C, P]): with
+        anchors on the 128-lane axis none of the q/novel/score
+        intermediates — nor their backward cotangents — pay the 60→128
+        (or 20→128) lane padding that the row-major layout costs on every
+        HBM pass. Parameter names/shapes are identical to a row-major
+        ``nn.Dense`` chain, so checkpoints interop unchanged. Returns the
+        logical row-major [B, P, num_out].
         """
         task = self.task
         c = task.src_cls_dim
@@ -306,27 +318,44 @@ class RFBNet(nn.Module):
         obj_target = self._obj_target()
 
         from ct_tpu.ops.ct_attention import (
-            ct_attention, ct_attention_reference,
+            ct_attention_cm, ct_attention_reference_cm,
         )
 
-        q = dense("theta")(conf) + conf            # [B, P, C]
+        dense("theta")(keys[:, :1])   # create/locate θ params only
+        th = self.get_variable("params", "theta")
+        dtype = conf_cm.dtype
+        q_cm = (
+            jnp.einsum("ck,bcp->bkp", th["kernel"].astype(dtype), conf_cm)
+            + th["bias"].astype(dtype)[None, :, None] + conf_cm
+        )                                          # [B, C, P]
         if self.use_pallas_ct:
-            novel = ct_attention(q, k, v, conf, wz)
+            novel = ct_attention_cm(q_cm, k, v, conf_cm, wz)
         else:
-            novel = ct_attention_reference(q, k, v, conf, wz)
-        novel = novel / jnp.linalg.norm(novel, axis=-1, keepdims=True)
+            novel = ct_attention_reference_cm(q_cm, k, v, conf_cm, wz)
+        novel = novel.astype(jnp.float32)
+        novel = novel / jnp.sqrt(
+            jnp.sum(jnp.square(novel), axis=1, keepdims=True))
         novel = jnp.einsum(
-            "bpc,nc->bpn", novel, obj_target,
+            "nc,bcp->bnp", obj_target, novel,
             preferred_element_type=jnp.float32,
-        ) * 5.0
+        ) * 5.0                                    # [B, N, P] f32
 
         if task.setting == "incre":
-            base = nn.Dense(
+            fb = nn.Dense(
                 c, use_bias=True, dtype=self.dtype,
                 kernel_init=nn.initializers.zeros, name="fc_base",
-            )(conf) + conf
-            return jnp.concatenate([base, novel], axis=-1)
-        return novel
+            )
+            fb(keys[:, :1])            # create/locate params only
+            fbp = self.get_variable("params", "fc_base")
+            base = (
+                jnp.einsum("ck,bcp->bkp",
+                           fbp["kernel"].astype(dtype), conf_cm)
+                + fbp["bias"].astype(dtype)[None, :, None] + conf_cm
+            )
+            return jnp.moveaxis(
+                jnp.concatenate([base.astype(novel.dtype), novel], axis=1),
+                1, -1)
+        return jnp.moveaxis(novel, 1, -1)
 
     def _obj_target(self) -> jnp.ndarray:
         task = self.task

@@ -45,6 +45,24 @@ def ct_attention_reference(
     return base + delta * wz
 
 
+def ct_attention_reference_cm(
+    q_cm: jnp.ndarray,    # [B, C, P]
+    k: jnp.ndarray,       # [B, K, C]
+    v: jnp.ndarray,       # [B, K, C]
+    base_cm: jnp.ndarray, # [B, C, P]
+    wz: jnp.ndarray,      # [C]
+) -> jnp.ndarray:
+    """Class-major XLA reference: same math as `ct_attention_reference`
+    with anchors on the minor (128-lane) axis, so none of the [*, C=60]
+    intermediates pad 60 → 128 lanes in HBM."""
+    s = jnp.einsum("bkc,bcp->bkp", k, q_cm,
+                   preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(s, axis=1)
+    delta = jnp.einsum("bkp,bkc->bcp", attn, v,
+                       preferred_element_type=jnp.float32)
+    return base_cm + delta * wz[None, :, None]
+
+
 def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
     # blocks: q/base/out [1, bq, C]; k [1, K, C]; v [1, K, C+1] (v with a
     # ones column appended by the wrapper); wz [1, C].
@@ -116,6 +134,69 @@ def ct_attention(q, k, v, base, wz, block_q: int = 1024,
         ),
         interpret=interpret,
     )(q, k, v_aug, base, wz[None, :])
+
+
+def _kernel_cm(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
+    # class-major blocks: q/base/out [1, C, bq]; k [1, C, K];
+    # v [1, C+1, K] (ones row appended by the wrapper); wz [C, 1].
+    # Same math as `_kernel`, but the dd matmul's output puts the big bq
+    # axis on lanes ([C+1, bq] vs row-major [bq, C+1] at 61/128 fill) and
+    # the q/base/out HBM blocks carry no 60→128 lane padding.
+    q = q_ref[0]                                            # [C, bq]
+    k = k_ref[0]                                            # [C, K]
+    v = v_ref[0]                                            # [C+1, K]
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [K, bq]
+    s_max = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - s_max)
+    dd = jax.lax.dot_general(
+        v, e.astype(v.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [C+1, bq]
+    delta = dd[:-1, :] / dd[-1:, :]
+    out_ref[0] = (
+        base_ref[0].astype(jnp.float32) + delta * wz_ref[...]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ct_attention_cm(q_cm, k, v, base_cm, wz, block_q: int = 1024,
+                    interpret: bool = False):
+    """Class-major fused attention (training path): q/base/out [B, C, P],
+    k/v [B, K, C]; differentiable via the class-major Pallas backward."""
+    b, c, p = q_cm.shape
+    kk = k.shape[1]
+    block_q = _fit_block_q(block_q, kk)
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((b, kk, 1), v.dtype)], axis=-1)
+    k_cmi = jnp.moveaxis(k, -1, 1)          # [B, C, K]   (tiny)
+    v_cmi = jnp.moveaxis(v_aug, -1, 1)      # [B, C+1, K]
+    qspec = pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel_cm,
+        grid=(b, pl.cdiv(p, block_q)),
+        in_specs=[
+            qspec,
+            pl.BlockSpec((1, c, kk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c + 1, kk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec,
+            pl.BlockSpec((c, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, c, p), base_cm.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * p * kk * c,
+            bytes_accessed=4 * b * (3 * p * c + 2 * kk * c),
+            transcendentals=b * p * kk,
+        ),
+        interpret=interpret,
+    )(q_cm, k_cmi, v_cmi, base_cm, wz[:, None])
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
@@ -292,24 +373,14 @@ def _fit_block_q_bwd(block_q: int, kk: int) -> int:
     return block_q
 
 
-def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 512,
-                            interpret: bool = False):
-    """→ (dq, dk, dv, dwz) via the class-major blockwise Pallas backward.
-
-    Inputs/outputs are logical row-major [B, P, C] / [B, K, C]; the
-    relayout to class-major is a cheap XLA transpose (~0.2 ms per
-    [64, 11620, 60] bf16 tensor at HBM bandwidth) against the ~6 ms the
-    lane-filled matmuls save (see `_bwd_kernel_cm`). dq comes back in the
-    input dtype (no accumulation); dk/dv/dwz accumulate across q blocks
-    in f32.
-    """
-    b, p, c = q.shape
-    kk = k.shape[1]
+def _bwd_call_cm(q_cm, k_cm, v_cm, wz, g_cm, block_q: int = 512,
+                 interpret: bool = False):
+    """Class-major backward core: all operands [B, C, *] →
+    (dq_cm, dk_cm, dv_cm, dwz). dq comes back in the input dtype (no
+    accumulation); dk/dv/dwz accumulate across q blocks in f32."""
+    b, c, p = q_cm.shape
+    kk = k_cm.shape[2]
     block_q = _fit_block_q_bwd(block_q, kk)
-    q_cm = jnp.moveaxis(q, -1, 1)            # [B, C, P]
-    g_cm = jnp.moveaxis(g, -1, 1)
-    k_cm = jnp.moveaxis(k, -1, 1)            # [B, C, K]
-    v_cm = jnp.moveaxis(v, -1, 1)
     qspec = pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, c, kk), lambda i, j: (i, 0, 0),
@@ -329,7 +400,7 @@ def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 512,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, p), q.dtype),
+            jax.ShapeDtypeStruct((b, c, p), q_cm.dtype),
             jax.ShapeDtypeStruct((b, c, kk), jnp.float32),
             jax.ShapeDtypeStruct((b, c, kk), jnp.float32),
             jax.ShapeDtypeStruct((b, c, 1), jnp.float32),
@@ -341,8 +412,27 @@ def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 512,
         ),
         interpret=interpret,
     )(q_cm, k_cm, v_cm, wz[:, None], g_cm)
+    return dq, dk, dv, jnp.sum(dwz[:, :, 0], axis=0)
+
+
+def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 512,
+                            interpret: bool = False):
+    """→ (dq, dk, dv, dwz) via the class-major blockwise Pallas backward.
+
+    Inputs/outputs here are logical row-major [B, P, C] / [B, K, C]; the
+    relayout to class-major is a cheap XLA transpose (~0.2 ms per
+    [64, 11620, 60] bf16 tensor at HBM bandwidth) against the ~6 ms the
+    lane-filled matmuls save (see `_bwd_kernel_cm`). The class-major
+    training path calls `_bwd_call_cm` directly and skips the big
+    transposes entirely.
+    """
+    dq, dk, dv, dwz = _bwd_call_cm(
+        jnp.moveaxis(q, -1, 1), jnp.moveaxis(k, -1, 1),
+        jnp.moveaxis(v, -1, 1), wz, jnp.moveaxis(g, -1, 1),
+        block_q, interpret,
+    )
     return (jnp.moveaxis(dq, 1, -1), jnp.moveaxis(dk, 1, -1),
-            jnp.moveaxis(dv, 1, -1), jnp.sum(dwz[:, :, 0], axis=0))
+            jnp.moveaxis(dv, 1, -1), dwz)
 
 
 def _serving_kernel(conf_ref, k_ref, v_ref, wt_ref, bt_ref, wz_ref,
@@ -446,6 +536,27 @@ def ct_attention_serving(
         interpret=interpret,
     )(conf_cm, k_cm, v_cm, w_theta.T, b_theta[:, None], wz[:, None],
       obj_target)
+
+
+def _fwd_cm(q_cm, k, v, base_cm, wz, block_q, interpret):
+    return (ct_attention_cm(q_cm, k, v, base_cm, wz, block_q, interpret),
+            (q_cm, k, v, wz))
+
+
+def _bwd_cm(block_q, interpret, residuals, g_cm):
+    q_cm, k, v, wz = residuals
+    dq_cm, dk_cm, dv_cm, dwz = _bwd_call_cm(
+        q_cm, jnp.moveaxis(k, -1, 1), jnp.moveaxis(v, -1, 1), wz, g_cm,
+        min(block_q, 512), interpret,
+    )
+    # d/d(base) of (base + delta·wz) is the upstream cotangent itself
+    return (dq_cm.astype(q_cm.dtype),
+            jnp.moveaxis(dk_cm, 1, -1).astype(k.dtype),
+            jnp.moveaxis(dv_cm, 1, -1).astype(v.dtype),
+            g_cm, dwz.astype(wz.dtype))
+
+
+ct_attention_cm.defvjp(_fwd_cm, _bwd_cm)
 
 
 def _fwd(q, k, v, base, wz, block_q, interpret):

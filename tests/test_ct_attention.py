@@ -96,3 +96,49 @@ def test_serving_kernel_matches_unfused_chain():
     out = jnp.moveaxis(out_cm, 1, -1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_cm_kernel_and_vjp_match_reference():
+    """Class-major fused attention (training path): forward and grads vs
+    the row-major XLA reference, including a partial final block."""
+    from ct_tpu.ops.ct_attention import (
+        ct_attention_cm, ct_attention_reference,
+    )
+
+    rng = np.random.RandomState(5)
+    q, k, v, base, wz = make_inputs(rng, b=2, p=300, k=64)  # 300 = 2*128+44
+    q_cm = jnp.moveaxis(q, -1, 1)
+    base_cm = jnp.moveaxis(base, -1, 1)
+
+    out_cm = ct_attention_cm(q_cm, k, v, base_cm, wz, 128, True)
+    ref = ct_attention_reference(q, k, v, base, wz)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(out_cm, 1, -1)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def loss_cm(q, k, v, base, wz):
+        return jnp.sum(ct_attention_cm(
+            jnp.moveaxis(q, -1, 1), k, v, jnp.moveaxis(base, -1, 1),
+            wz, 128, True) ** 2)
+
+    def loss_ref(q, k, v, base, wz):
+        return jnp.sum(ct_attention_reference(q, k, v, base, wz) ** 2)
+
+    g1 = jax.grad(loss_cm, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_reference_cm_matches_reference():
+    from ct_tpu.ops.ct_attention import (
+        ct_attention_reference, ct_attention_reference_cm,
+    )
+
+    rng = np.random.RandomState(6)
+    q, k, v, base, wz = make_inputs(rng)
+    ref = ct_attention_reference(q, k, v, base, wz)
+    cm = ct_attention_reference_cm(
+        jnp.moveaxis(q, -1, 1), k, v, jnp.moveaxis(base, -1, 1), wz)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(cm, 1, -1)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
