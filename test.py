@@ -73,6 +73,10 @@ def parse_args(argv=None):
                         help="With --int8: also quantize the loc/conf/obj "
                              "head convs (the bench serving config; "
                              "fidelity measured on the parity model)")
+    parser.add_argument("--ndev", type=int, default=1,
+                        help="Data-parallel eval over an N-device mesh "
+                             "(batch size must be divisible by N); the "
+                             "reference evaluates on one GPU")
     return parser.parse_args(argv)
 
 
@@ -142,9 +146,18 @@ def run_inference(args, net, variables, dataset, task, priors, img_dim,
     approx = args.approx_topk == "on" or (
         args.approx_topk == "auto" and on_tpu
     )
+    mesh = None
+    if getattr(args, "ndev", 1) > 1:
+        from ct_tpu.parallel import make_mesh
+
+        if args.batch_size % args.ndev:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--ndev {args.ndev}")
+        mesh = make_mesh(args.ndev)
     eval_step = make_eval_step(net, priors, approx_top_k=approx,
                                top_k=args.top_k, quant=quant,
-                               pool_size=args.pool_size)
+                               pool_size=args.pool_size, mesh=mesh)
     transform = EvalTransform(img_dim, RGB_MEANS)
     num_images = len(dataset)
     num_classes = task.num_classes

@@ -343,3 +343,40 @@ def test_orbax_checkpointer_roundtrip(tmp_path):
     assert out["iteration"] == 9
     assert isinstance(out["opt_state"], type(opt))
     ck2.close()
+
+
+def test_eval_step_dp8_tiny_exact_parity():
+    """Sharded batched inference (shard_map DP over 8 virtual devices)
+    must produce exactly the single-device detections: eval has no
+    cross-image interaction, so sharding the batch is a pure partition.
+    Covers `test.py --ndev N` (a TPU-native addition — the reference
+    evaluates on one GPU, test.py:121-130)."""
+    from ct_tpu.config import TINY_64
+    from ct_tpu.train.step import make_eval_step
+
+    task = resolve_task(2, "transfer", "ours", "VOC")
+    net = build_net(task, 64)
+    priors = prior_boxes(TINY_64)
+    state = init_train_state(net, None, jax.random.PRNGKey(0), 64)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32) * 50)
+    sizes = jnp.asarray(np.tile([480, 640], (8, 1)).astype(np.int32))
+
+    one = make_eval_step(net, priors)
+    d1 = one(state.params, state.batch_stats, images, sizes)
+
+    mesh = make_mesh(8)
+    d8 = make_eval_step(net, priors, mesh=mesh)(
+        state.params, state.batch_stats, images, sizes)
+
+    # selection structure must match exactly; box/score values reassociate
+    # (the per-shard program tiles convs for batch 1, the single-device one
+    # for batch 8), so f32 values match to rounding, not bit-for-bit
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d8.valid))
+    np.testing.assert_array_equal(np.asarray(d1.classes),
+                                  np.asarray(d8.classes))
+    np.testing.assert_allclose(np.asarray(d1.scores), np.asarray(d8.scores),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d8.boxes),
+                               rtol=1e-3, atol=0.5)
