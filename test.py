@@ -293,9 +293,12 @@ def main(argv=None):
     from ct_tpu.ops.priors import prior_boxes
     from ct_tpu.train.checkpointer import Checkpointer
     from ct_tpu.train.step import init_train_state
-    from ct_tpu.utils.cache import enable_compilation_cache
+    from ct_tpu.utils.cache import (
+        enable_compilation_cache, require_tpu_tunnel,
+    )
     from ct_tpu.utils.logger import setup_logger
 
+    require_tpu_tunnel()
     enable_compilation_cache()
     save_folder = os.path.join(args.save_folder, "inference")
     os.makedirs(save_folder, exist_ok=True)

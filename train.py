@@ -101,8 +101,11 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from ct_tpu.utils.cache import enable_compilation_cache
+    from ct_tpu.utils.cache import (
+        enable_compilation_cache, require_tpu_tunnel,
+    )
 
+    require_tpu_tunnel()
     enable_compilation_cache()
 
     from ct_tpu.config import (
