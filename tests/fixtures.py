@@ -118,3 +118,69 @@ def make_mini_voc(
         with open(os.path.join(main, "1_box", cls + ".txt"), "w") as f:
             f.write("\n".join(shots) + "\n")
     return devkit
+
+
+COCO_FIXTURE_CATS = [
+    {"id": 2, "name": "bicycle", "supercategory": "vehicle"},
+    {"id": 13, "name": "stop sign", "supercategory": "outdoor"},
+    {"id": 25, "name": "giraffe", "supercategory": "animal"},
+    {"id": 34, "name": "frisbee", "supercategory": "sports"},
+    {"id": 46, "name": "wine glass", "supercategory": "kitchen"},
+    {"id": 59, "name": "pizza", "supercategory": "food"},
+]
+
+
+def make_mini_coco(root: str, n_train: int = 8, n_val: int = 6,
+                   seed: int = 0) -> str:
+    """Tiny COCO tree (images/{train,val}2014 + split_nonvoc annotation
+    JSONs) matching the layout `ct_tpu.data.coco.COCODetection` and the
+    CLIs expect (reference layout: /root/reference/data/coco.py:70-130).
+    Split annotation files carry only the subset's categories, like the
+    reference's split_coco_dataset tool output."""
+    import json
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+
+    def build(img_dir: str, count: int, first_id: int):
+        d = os.path.join(root, "images", img_dir)
+        os.makedirs(d, exist_ok=True)
+        images, annos = [], []
+        aid = first_id * 1000
+        for i in range(count):
+            img_id = first_id + i
+            name = f"COCO_{img_dir}_{img_id:012d}.jpg"
+            h, w = int(rng.randint(240, 321)), int(rng.randint(280, 401))
+            img = np.full((h, w, 3), 110, np.uint8)
+            for _ in range(int(rng.randint(1, 4))):
+                cat = COCO_FIXTURE_CATS[int(rng.randint(
+                    len(COCO_FIXTURE_CATS)))]
+                bw = int(rng.randint(40, max(41, w // 2)))
+                bh = int(rng.randint(40, max(41, h // 2)))
+                x = int(rng.randint(0, w - bw))
+                y = int(rng.randint(0, h - bh))
+                cv2.rectangle(img, (x, y), (x + bw, y + bh),
+                              class_color(cat["id"]), -1)
+                annos.append({
+                    "id": aid, "image_id": img_id,
+                    "category_id": cat["id"],
+                    "bbox": [float(x), float(y), float(bw), float(bh)],
+                    "area": float(bw * bh), "iscrowd": 0,
+                })
+                aid += 1
+            cv2.imwrite(os.path.join(d, name), img)
+            images.append({"id": img_id, "file_name": name,
+                           "width": w, "height": h})
+        return images, annos
+
+    tr_im, tr_an = build("train2014", n_train, 1000)
+    va_im, va_an = build("val2014", n_val, 2000)
+    for fname, im, an in (
+        ("split_nonvoc_instances_train2014.json", tr_im, tr_an),
+        ("split_nonvoc_instances_valminusminival2014.json", [], []),
+        ("split_nonvoc_instances_minival2014.json", va_im, va_an),
+    ):
+        with open(os.path.join(root, "annotations", fname), "w") as f:
+            json.dump({"images": im, "annotations": an,
+                       "categories": COCO_FIXTURE_CATS}, f)
+    return root

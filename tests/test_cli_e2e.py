@@ -123,3 +123,35 @@ def test_phase2_ft_baseline(devkit, tmp_path):
                          "--load-file", save + "/model_final.ckpt",
                          "--save-folder", save, "-b", "4"])
     assert len(res["APs"]) == 20
+
+
+def test_phase1_coco(tmp_path, monkeypatch):
+    """Phase-1 COCO60 pretraining + COCO eval on the mini-COCO fixture
+    (reference protocol: train.py -d COCO -p 1 → test.py -d COCO; eval
+    through the vendored COCO evaluator)."""
+    from fixtures import make_mini_coco
+
+    import train as train_cli
+    import test as test_cli
+
+    root = make_mini_coco(str(tmp_path / "coco"))
+    monkeypatch.setenv("COCO_ROOT", root)
+    save = str(tmp_path / "wc")
+    train_cli.main(["-d", "COCO", "-p", "1", "--max-iter", "2",
+                    "--checkpoint-period", "2", "--save-folder", save]
+                   + COMMON)
+    assert "model_final.ckpt" in os.listdir(save)
+    res = test_cli.main(["-d", "COCO", "-p", "1",
+                         "--load-file", save + "/model_final.ckpt",
+                         "--save-folder", save, "-b", "2"])
+    # COCO stats dict (AP/AP50/... + per-category) present; undefined
+    # area-range stats may be NaN/-1 on the tiny fixture
+    assert res and "AP" in res and np.isfinite(res["AP"])
+    assert any(k.startswith("AP-") for k in res)
+
+    import jax
+
+    jax.clear_caches()
+
+
+import numpy as np  # noqa: E402  (used by test_phase1_coco)
