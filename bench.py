@@ -23,6 +23,8 @@ import os
 import sys
 import time
 
+from ct_tpu.utils.timing import fetch_sync
+
 
 BASELINE_TARGET_IPS = 5 * 83.0
 
@@ -68,17 +70,17 @@ def bench_train(jax, jnp, np, net, priors, task, batch: int = 64,
     log("compiling train step…")
     t0 = time.perf_counter()
     state, metrics = step(state, b)
-    jax.block_until_ready(metrics)
+    fetch_sync(metrics)
     log(f"train compile+first step: {time.perf_counter() - t0:.1f}s")
     for _ in range(2):
         state, metrics = step(state, b)
-    jax.block_until_ready(metrics)
+    fetch_sync(metrics)
     dt = float("inf")
     for _ in range(3):   # best-of-3: tunnel dispatch jitter ~15%
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, b)
-        jax.block_until_ready(metrics)
+        fetch_sync(metrics)
         dt = min(dt, time.perf_counter() - t0)
     return batch * iters / dt
 
@@ -119,7 +121,7 @@ def main():
 
     t0 = time.perf_counter()
     state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
-    jax.block_until_ready(state.params)
+    fetch_sync(state.params)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.RandomState(0)
@@ -180,12 +182,12 @@ def main():
     log(f"compiling ({mode} serving path)…")
     t0 = time.perf_counter()
     dets = eval_step(params, batch_stats, images, sizes)
-    jax.block_until_ready(dets)
+    fetch_sync(dets)
     log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     # warmup
     for _ in range(2):
-        jax.block_until_ready(
+        fetch_sync(
             eval_step(params, batch_stats, images, sizes)
         )
 
@@ -198,7 +200,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             dets = eval_step(params, batch_stats, images, sizes)
-        jax.block_until_ready(dets)
+        fetch_sync(dets)
         dt = min(dt, time.perf_counter() - t0)
 
     ips = batch * iters / dt
@@ -220,11 +222,11 @@ def main():
     nms_fn = jax.jit(lambda l, c, o, z: postprocess(
         l, c, o, priors, image_sizes=z, approx_top_k=on_tpu,
         top_k=128 if on_tpu else 200, pool_size=512 if on_tpu else 0))
-    jax.block_until_ready(nms_fn(loc, conf, obj, sizes))
+    fetch_sync(nms_fn(loc, conf, obj, sizes))
     samples = []
     for _ in range(9):
         t0 = time.perf_counter()
-        jax.block_until_ready(nms_fn(loc, conf, obj, sizes))
+        fetch_sync(nms_fn(loc, conf, obj, sizes))
         samples.append(time.perf_counter() - t0)
     p50_ms = sorted(samples)[len(samples) // 2] * 1e3
     log(f"p50 NMS (decode+fuse+suppress+cap, batch {batch}): {p50_ms:.2f} ms"

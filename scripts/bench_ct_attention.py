@@ -21,6 +21,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ct_tpu.utils.timing import fetch_sync
 from ct_tpu.utils.cache import enable_compilation_cache
 
 
@@ -86,11 +87,11 @@ def make_variant(exp_dtype, block_q, fuse_denom=False):
 
 def bench(fn, args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     return (time.perf_counter() - t0) / iters
 
 

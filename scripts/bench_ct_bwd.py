@@ -20,6 +20,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ct_tpu.utils.timing import fetch_sync
 from ct_tpu.utils.cache import enable_compilation_cache
 from ct_tpu.ops import ct_attention as cta
 
@@ -57,13 +58,13 @@ def bwd_rowmajor(q, k, v, wz, g, block_q: int = 512):
 
 def bench(fn, args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        fetch_sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

@@ -20,18 +20,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ct_tpu.utils.timing import fetch_sync
 from ct_tpu.utils.cache import enable_compilation_cache, require_tpu_tunnel
 
 
 def bench(fn, args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        fetch_sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

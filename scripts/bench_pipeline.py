@@ -96,6 +96,8 @@ def main():
     if args.device:
         import jax
 
+        from ct_tpu.utils.timing import fetch_sync
+
         if os.environ.get("JAX_PLATFORMS", "") == "cpu":
             # the environment's sitecustomize force-registers the TPU
             # backend over the env var; honor an explicit cpu request
@@ -147,15 +149,15 @@ def main():
         log("compiling end-to-end step…")
         t0 = time.perf_counter()
         state, m = run_iter(state, 0, loader.next())
-        jax.block_until_ready(m)
+        fetch_sync(m)
         log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
         for i in range(2):
             state, m = run_iter(state, i + 1, loader.next())
-        jax.block_until_ready(m)
+        fetch_sync(m)
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, m = run_iter(state, i + 3, loader.next())
-        jax.block_until_ready(m)
+        fetch_sync(m)
         dt = time.perf_counter() - t0
         results["end_to_end"] = args.batch_size * args.iters / dt
         log(f"end-to-end (loader→device-augment→train step"

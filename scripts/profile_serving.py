@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ct_tpu.utils.timing import fetch_sync
 from ct_tpu.utils.cache import enable_compilation_cache
 
 
@@ -64,7 +65,7 @@ def main():
     params, batch_stats = folded["params"], folded["batch_stats"]
 
     d = eval_step(params, batch_stats, images, sizes)
-    jax.block_until_ready(d)
+    fetch_sync(d)
     print("compiled", flush=True)
 
     trace_dir = "/tmp/serving_trace"
@@ -72,7 +73,7 @@ def main():
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
             d = eval_step(params, batch_stats, images, sizes)
-        jax.block_until_ready(d)
+        fetch_sync(d)
     print("trace written", flush=True)
 
     summarize_trace(trace_dir)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ct_tpu.utils.timing import fetch_sync
 from ct_tpu.utils.cache import enable_compilation_cache
 
 
@@ -63,7 +64,7 @@ def main():
         "weights": jnp.asarray(t.weights), "valid": jnp.asarray(t.valid),
     }
     state, metrics = step(state, b)
-    jax.block_until_ready(metrics)
+    fetch_sync(metrics)
     print("compiled", flush=True)
 
     trace_dir = "/tmp/train_trace"
@@ -71,7 +72,7 @@ def main():
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
             state, metrics = step(state, b)
-        jax.block_until_ready(metrics)
+        fetch_sync(metrics)
     print("trace written", flush=True)
 
     from profile_serving import summarize_trace
