@@ -1,16 +1,28 @@
-"""Threaded host data pipeline producing fixed-shape padded batches.
+"""Host data pipeline producing fixed-shape padded batches.
 
 Replaces the reference's ``torch.utils.data.DataLoader`` worker processes +
 ragged ``detection_collate`` (/root/reference/train.py:192-199,
-/root/reference/data/voc0712.py:429-451) with a thread-pool pipeline (the
-heavy lifting — JPEG decode, cv2 resize — releases the GIL) that emits
-dict batches of numpy arrays ready for ``jax.device_put``:
+/root/reference/data/voc0712.py:429-451). Two worker modes:
+
+  * ``workers="thread"`` (default): a thread pool — the production route
+    for the ``--device-augment`` path, whose host work (JPEG decode, cv2
+    canvas resize) releases the GIL; measured 629 img/s sustained on one
+    core (scripts/bench_pipeline.py).
+  * ``workers="process"``: a spawn-based process pool — the reference's
+    scaling model, for the host-augment *parity* pipeline whose numpy-heavy
+    ``TrainAugment`` (≈13 ms/img ≈ 49 img/s/core) holds the GIL too much
+    for threads to scale. Per-core rate is identical; cores multiply.
+
+Batches are dicts of numpy arrays ready for ``jax.device_put``:
 
   image [B,S,S,3] f32 NHWC · boxes [B,M,4] · labels [B,M] · weights [B,M]
   · valid [B,M]
 
-Double-buffered: the next batch is assembled while the device runs the
-current step.
+Both modes emit batches in deterministic sequence order (samples are
+reordered by sequence number before collation), so the two modes produce
+IDENTICAL batch streams for the same seed — the process pool is a drop-in
+throughput knob, not a semantics change. Double-buffered: the next batch is
+assembled while the device runs the current step.
 """
 
 from __future__ import annotations
@@ -25,6 +37,33 @@ from ct_tpu.data.targets import pad_targets
 from ct_tpu.train.sampler import TrainingSampler
 
 
+def _process_worker(dataset_bytes: bytes, index_q, sample_q, stop):
+    """Worker-process loop: deserialize the dataset once, then map
+    indices → samples. Top-level so the 'spawn' start method can import it
+    (fork is unsafe here: the parent may hold JAX/tunnel RPC threads)."""
+    import pickle
+
+    try:
+        import cv2
+
+        cv2.setNumThreads(1)
+    except ImportError:  # pragma: no cover
+        pass
+    dataset = pickle.loads(dataset_bytes)
+    while not stop.is_set():
+        try:
+            seq, idx = index_q.get(timeout=0.2)
+        except queue.Empty:
+            continue
+        sample = dataset[idx]
+        while not stop.is_set():
+            try:
+                sample_q.put((seq, sample), timeout=0.2)
+                break
+            except queue.Full:
+                continue
+
+
 class Loader:
     def __init__(
         self,
@@ -35,7 +74,10 @@ class Loader:
         seed: Optional[int] = None,
         prefetch: int = 2,
         shuffle: bool = True,
+        workers: str = "thread",
     ):
+        if workers not in ("thread", "process"):
+            raise ValueError(f"workers must be thread|process, got {workers}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
@@ -43,7 +85,9 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.shuffle = shuffle
+        self.workers = workers
         self._generation = 0
+        self._procs: list = []
         self._start()
 
     # -- lifecycle ---------------------------------------------------------
@@ -63,25 +107,43 @@ class Loader:
         # still blocked inside ``dataset[idx]`` across a restart() can only
         # ever touch its own generation's (stopped, drained) objects —
         # stale samples cannot leak into the new generation.
-        self._stop = stop = threading.Event()
-        self._index_q = index_q = queue.Queue(
-            maxsize=self.batch_size * (self.prefetch + 1)
-        )
-        self._sample_q = sample_q = queue.Queue(
-            maxsize=self.batch_size * (self.prefetch + 1)
-        )
+        qsize = self.batch_size * (self.prefetch + 1)
         self._batch_q = batch_q = queue.Queue(maxsize=self.prefetch)
         self._threads = []
+        self._procs = []
+
+        if self.workers == "process":
+            import multiprocessing as mp
+            import pickle
+
+            ctx = mp.get_context("spawn")
+            self._stop = stop = ctx.Event()
+            self._index_q = index_q = ctx.Queue(maxsize=qsize)
+            self._sample_q = sample_q = ctx.Queue(maxsize=qsize)
+            payload = pickle.dumps(self.dataset)
+            for _ in range(self.num_workers):
+                p = ctx.Process(
+                    target=_process_worker,
+                    args=(payload, index_q, sample_q, stop), daemon=True,
+                )
+                p.start()
+                self._procs.append(p)
+        else:
+            self._stop = stop = threading.Event()
+            self._index_q = index_q = queue.Queue(maxsize=qsize)
+            self._sample_q = sample_q = queue.Queue(maxsize=qsize)
+            for _ in range(self.num_workers):
+                t = threading.Thread(
+                    target=self._work,
+                    args=(stop, index_q, sample_q), daemon=True,
+                )
+                t.start()
+                self._threads.append(t)
 
         t = threading.Thread(target=self._feed_indices,
                              args=(stop, index_q), daemon=True)
         t.start()
         self._threads.append(t)
-        for _ in range(self.num_workers):
-            t = threading.Thread(target=self._work,
-                                 args=(stop, index_q, sample_q), daemon=True)
-            t.start()
-            self._threads.append(t)
         t = threading.Thread(target=self._assemble,
                              args=(stop, sample_q, batch_q), daemon=True)
         t.start()
@@ -103,6 +165,11 @@ class Loader:
                 pass
         for t in self._threads:
             t.join(timeout=2.0)
+        for p in self._procs:
+            p.join(timeout=5.0)
+            if p.is_alive():  # pragma: no cover — stuck in dataset[idx]
+                p.terminate()
+                p.join(timeout=2.0)
 
     # -- pipeline stages ---------------------------------------------------
 

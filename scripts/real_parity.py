@@ -16,8 +16,24 @@ Usage (serial steps; train needs the TPU):
   python scripts/ref_parity_torch.py --eval-only --out .parity_real
   python scripts/real_parity.py diff
 
-Artifacts under --out (.parity_real/):
-  voc/VOCdevkit      class-colored fixture, 15 split-1 base classes
+Phase-2 incremental chain (VERDICT r3 #1 — trained-numerics evidence for
+the Context-Transformer head itself: attention, θ/φ/g residuals, Wz,
+ℓ2+cosine OBJ_Target classifier, fc_base concat, OBJ_Target init,
+mixup + ignore-label semantics; reference protocol README.md:166-191):
+  python scripts/real_parity.py build2  --out .parity_p2 [--images 600]
+  python scripts/real_parity.py train   --out .parity_p2 \
+      --export-name phase1.pth            # phase-1 base-15 pretrain
+  python scripts/real_parity.py train2  --out .parity_p2 \
+      [--iters 400 --shot 5]              # incre 5-shot fine-tune, CT head
+  python scripts/real_parity.py eval-ours --out .parity_p2 --phase 2
+  python scripts/ref_parity_torch.py --eval-only --phase 2 \
+      --setting incre --out .parity_p2
+  python scripts/real_parity.py diff --out .parity_p2 --phase 2
+
+Artifacts under --out (.parity_real/ or .parity_p2/):
+  voc/VOCdevkit      class-colored fixture (build: 15 base classes;
+                     build2: all 20 split-1 classes + make_shots lists)
+  phase1.pth         phase-1 checkpoint feeding the phase-2 chain
   ref_model.pth      OUR trained weights, reference key space
   ours_eval*.json    our-stack mAP (per serving config)
   ref_eval.json      reference-stack mAP (written by ref_parity_torch)
@@ -54,6 +70,204 @@ def cmd_build(args):
         f"test set {args.test_images}")
 
 
+def cmd_build2(args):
+    """All-20-class fixture + reference-semantics few-shot lists.
+
+    ``make_mini_voc`` writes trivial lists (every id in every list); the
+    phase-2 protocol needs real ones — base-split lists with no novel
+    objects and per-class 1_box instance-shot lists — so regenerate them
+    with the production ``ct_tpu.data.make_shots`` generators (which also
+    exercises that tool on a full VOC tree)."""
+    from fixtures import make_mini_voc
+    from ct_tpu.data.voc import VOC_CLASSES
+    from ct_tpu.data import make_shots
+
+    all20 = tuple(VOC_CLASSES[1][1:21])  # split-1 order: novel last
+    voc_root = os.path.join(args.out, "voc")
+    for year, seed in (("2007", 0), ("2012", 1)):
+        make_mini_voc(voc_root, year=year, num_images=args.images,
+                      classes=all20, seed=seed, class_colors=True,
+                      max_test_ids=args.test_images)
+    devkit = os.path.join(voc_root, "VOCdevkit")
+    records = make_shots._load_annotations(devkit, ("2007", "2012"))
+    written = make_shots.write_lists(
+        devkit, ("2007", "2012"),
+        make_shots.make_base_split_lists(records, splits=(1,)),
+        make_shots.make_image_shot_lists(records, shots=(1, 5)),
+        make_shots.make_instance_shot_lists(records, depth=10),
+    )
+    n_split = sum(
+        1 for _ in open(os.path.join(
+            devkit, "VOC2007", "ImageSets", "Main", "trainval_split1.txt"))
+    )
+    log(f"fixture: 2x{args.images} images, 20 split-1 classes, "
+        f"{len(written)} list files, split1(2007)={n_split} base images, "
+        f"test set {args.test_images}")
+
+
+def _device_dataset(dataset, batch_size, max_objs=8, seed=0):
+    """Decode the whole (small) fixture once, park it in HBM as uint8, and
+    sample batches on device — the remote-TPU tunnel moves small per-batch
+    uploads at ~8 MB/s, which would cap streaming training at ~17 img/s.
+    (On a colocated TPU host the streaming Loader is the production route —
+    scripts/bench_pipeline.py measures its rates.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ct_tpu.data.targets import pad_targets
+
+    imgs, annos = [], []
+    for i in range(len(dataset)):
+        img, t = dataset[i]
+        imgs.append(img.astype(np.uint8))
+        annos.append(t)
+    pt = pad_targets(annos, max_objs=max_objs)
+    data = {
+        "image": jax.device_put(np.stack(imgs)),
+        "boxes": jax.device_put(pt.boxes),
+        "labels": jax.device_put(pt.labels),
+        "weights": jax.device_put(pt.weights),
+        "valid": jax.device_put(pt.valid),
+    }
+    jax.block_until_ready(data["image"])
+    log(f"dataset resident on device: {data['image'].shape} uint8")
+
+    @jax.jit
+    def gather_batch(data, idx):
+        # data as an ARGUMENT: closing over the device arrays would embed
+        # them as program constants (the remote compile request then
+        # exceeds the tunnel's size limit)
+        return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+
+    rng_np = np.random.RandomState(seed)
+
+    class _DeviceLoader:
+        def next(self):
+            idx = rng_np.randint(0, len(dataset), size=(batch_size,))
+            return gather_batch(data, jnp.asarray(idx, jnp.int32))
+
+        def stop(self):
+            pass
+
+    return _DeviceLoader()
+
+
+def cmd_train2(args):
+    """Phase-2 incremental 'ours' fine-tune: phase-1 ckpt → init_reweight →
+    CT-head training with device mixup → ref_model.pth.
+
+    Mirrors the reference incre recipe (/root/reference/README.md:187-191:
+    -p 2 -m ours --shot K --warmup-iter 0, mixup with a no-mixup tail) and
+    our train.py's phase-2 path, on the device-resident fixture loader."""
+    import dataclasses
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from ct_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from ct_tpu.config import VOC_300, resolve_task
+    from ct_tpu.data.augment import RawCanvasTransform
+    from ct_tpu.data.augment_jax import augment_batch, mixup_batch
+    from ct_tpu.data.voc import AnnotationTransform, VOCDetection
+    from ct_tpu.models import build_net
+    from ct_tpu.models.torch_export import save_pth
+    from ct_tpu.ops.priors import prior_boxes
+    from ct_tpu.train.checkpointer import Checkpointer
+    from ct_tpu.train.reweight import init_reweight
+    from ct_tpu.train.solver import SolverConfig, build_fused_optimizer
+    from ct_tpu.train.step import (
+        TrainState, init_train_state, make_train_step,
+    )
+
+    devkit = os.path.join(args.out, "voc", "VOCdevkit")
+    task = resolve_task(2, "incre", "ours", "VOC")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    log(f"device: {jax.devices()[0]}  (phase-2 incre split-1, "
+        f"{args.shot}-shot)")
+
+    # phase-2 incre trains on 2007 1_box instance shots (train.py:157-158);
+    # all but each image's first object become ignore labels (-1)
+    dataset = VOCDetection(
+        devkit, [("2007", "trainval")],
+        RawCanvasTransform(384), AnnotationTransform(1),
+        phase=2, setting="incre", split=1, shot=args.shot,
+    )
+    log(f"train dataset: {len(dataset)} shot images")
+    loader = _device_dataset(dataset, args.batch)
+
+    net = build_net(task, 300, dtype=jnp.bfloat16 if on_tpu else None)
+    if on_tpu:
+        net = dataclasses.replace(net, use_pallas_ct=True)
+    priors = prior_boxes(VOC_300)
+    state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
+
+    ck = Checkpointer(os.path.join(args.out, "p2_weights"))
+    loaded = ck.resume_or_load(
+        os.path.join(args.out, "phase1.pth"),
+        state.params, state.batch_stats, resume=False, load_optimizer=False,
+    )
+    cfg = SolverConfig(
+        lr=args.lr, steps=(int(args.iters * 0.875),), warmup_iters=0,
+    )
+    tx = build_fused_optimizer(loaded["params"], task, cfg)
+    state = TrainState(loaded["params"], loaded["batch_stats"],
+                       tx.init(loaded["params"]), state.step)
+
+    # OBJ_Target init from augmented (never mixed) batches — the reference
+    # calls init_reweight before dataset.set_mixup (train.py:186-190)
+    def aug(batch, rng):
+        a = augment_batch(rng, batch["image"], batch["boxes"],
+                          batch["labels"], batch["valid"], out_size=300)
+        return dict(a, weights=batch["weights"])
+
+    class _AugLoader:
+        def __init__(self):
+            self.i = 0
+
+        def next(self):
+            self.i += 1
+            return aug(loader.next(),
+                       jax.random.fold_in(jax.random.PRNGKey(3), self.i))
+
+    state = init_reweight(
+        types.SimpleNamespace(init_iter=args.init_iter),
+        net, state, _AugLoader(), priors, task,
+    )
+    log(f"OBJ_Target initialized from {args.init_iter} batches")
+
+    step = make_train_step(net, priors, task, tx)
+    path = os.path.join(args.out, "ref_model.pth")
+
+    t0 = time.time()
+    no_mixup_from = args.iters - args.no_mixup_iter
+    for it in range(args.iters):
+        batch = aug(loader.next(),
+                    jax.random.fold_in(jax.random.PRNGKey(1), it))
+        if it < no_mixup_from:
+            batch = mixup_batch(
+                jax.random.fold_in(jax.random.PRNGKey(2), it), batch,
+                zero_ignored=True,   # incre: ignore rows drop out of loss
+            )
+        state, metrics = step(state, batch)
+        if it % 50 == 0 or it == args.iters - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = args.batch * (it + 1) / (time.time() - t0)
+            log(f"iter {it}: total={m['total_loss']:.4f} "
+                f"box={m['loss_box_reg']:.4f} cls={m['loss_cls']:.4f} "
+                f"obj={m['loss_obj']:.4f}  ({rate:.0f} img/s)")
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    save_pth(path, variables, iteration=args.iters - 1)
+    log("exported", path)
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -88,50 +302,7 @@ def cmd_train(args):
     )
     log(f"train dataset: {len(dataset)} images")
 
-    # Device-resident dataset: the remote-TPU tunnel moves small per-batch
-    # uploads at ~8 MB/s (measured), which caps streaming training at
-    # ~17 img/s. The whole fixture fits HBM as uint8 (≈350 MB), so decode
-    # once, upload once, and sample batches on device. (On a colocated
-    # TPU host the streaming Loader path is the production route — see
-    # scripts/bench_pipeline.py for its measured rates.)
-    from ct_tpu.data.targets import pad_targets
-
-    import numpy as _np
-
-    imgs, annos = [], []
-    for i in range(len(dataset)):
-        img, t = dataset[i]
-        imgs.append(img.astype(_np.uint8))
-        annos.append(t)
-    pt = pad_targets(annos, max_objs=8)
-    d_imgs = jax.device_put(_np.stack(imgs))
-    d_boxes = jax.device_put(pt.boxes)
-    d_labels = jax.device_put(pt.labels)
-    d_weights = jax.device_put(pt.weights)
-    d_valid = jax.device_put(pt.valid)
-    jax.block_until_ready(d_imgs)
-    log(f"dataset resident on device: {d_imgs.shape} uint8")
-
-    @jax.jit
-    def gather_batch(data, idx):
-        # data as an ARGUMENT: closing over the 350 MB device arrays would
-        # embed them as program constants (the remote compile request then
-        # exceeds the tunnel's size limit)
-        return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-
-    data = {"image": d_imgs, "boxes": d_boxes, "labels": d_labels,
-            "weights": d_weights, "valid": d_valid}
-    rng_np = _np.random.RandomState(0)
-
-    class _DeviceLoader:
-        def next(self):
-            idx = rng_np.randint(0, len(dataset), size=(args.batch,))
-            return gather_batch(data, jnp.asarray(idx, jnp.int32))
-
-        def stop(self):
-            pass
-
-    loader = _DeviceLoader()
+    loader = _device_dataset(dataset, args.batch)
 
     net = build_net(task, 300, dtype=jnp.bfloat16 if on_tpu else None)
     priors = prior_boxes(VOC_300)
@@ -145,7 +316,7 @@ def cmd_train(args):
                        tx.init(state.params), state.step)
     step = make_train_step(net, priors, task, tx)
 
-    path = os.path.join(args.out, "ref_model.pth")
+    path = os.path.join(args.out, args.export_name)
 
     def export(st, it):
         variables = {
@@ -211,12 +382,16 @@ def cmd_eval_ours(args):
         name += "_pool"
     save = os.path.join(args.out, name)
     res = test_cli.main([
-        "-d", "VOC", "-p", "1", "--setting", "incre", "--split", "1",
+        "-d", "VOC", "-p", str(args.phase), "--setting", "incre",
+        "--split", "1",
         "--load-file", os.path.join(args.out, "ref_model.pth"),
         "--save-folder", save, "-b", "32", *extra,
     ])
     out = {"mAP": float(res["mAP"]),
            "APs": {k: float(v) for k, v in res.get("APs", {}).items()}}
+    for k in ("base_mAP", "novel_mAP"):
+        if k in res:
+            out[k] = float(res[k])
     with open(os.path.join(args.out, name + ".json"), "w") as f:
         json.dump(out, f, indent=1)
     log(name, "mAP:", out["mAP"])
@@ -230,6 +405,10 @@ def cmd_diff(args):
     delta = abs(ref["mAP"] - ours["mAP"])
     log(f"reference mAP {ref['mAP']:.4f}  ours {ours['mAP']:.4f}  "
         f"|delta| {delta:.5f}")
+    for k in ("base_mAP", "novel_mAP"):
+        if k in ref and k in ours:
+            log(f"  {k}: reference {ref[k]:.4f}  ours {ours[k]:.4f}  "
+                f"|delta| {abs(ref[k] - ours[k]):.5f}")
 
     from ct_tpu.tools.diff_detections import diff
 
@@ -240,20 +419,33 @@ def cmd_diff(args):
         stats = diff(det_ours, det_ref)
         log(json.dumps(stats, indent=1, default=float))
     ok = delta < 0.003 and ref["mAP"] >= 0.3
+    if args.phase == 2:
+        # the decisive quantity for the CT head is the NOVEL-class mAP
+        ok = (ok and "novel_mAP" in ref and "novel_mAP" in ours
+              and ref["novel_mAP"] >= 0.3
+              and abs(ref["novel_mAP"] - ours["novel_mAP"]) < 0.003)
     log("PASS" if ok else "FAIL",
-        "(target: |delta| < 0.003 at mAP >= 0.3)")
+        "(target: |delta| < 0.003 at mAP >= 0.3"
+        + (", novel_mAP >= 0.3" if args.phase == 2 else "") + ")")
     return 0 if ok else 1
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["build", "train", "eval-ours", "diff"])
+    ap.add_argument("cmd", choices=["build", "build2", "train", "train2",
+                                    "eval-ours", "diff"])
     ap.add_argument("--out", default=os.path.join(REPO, ".parity_real"))
     ap.add_argument("--images", type=int, default=400)
     ap.add_argument("--test-images", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=4e-3)
+    ap.add_argument("--export-name", default="ref_model.pth")
+    # phase-2 (train2 / eval-ours / diff)
+    ap.add_argument("--phase", type=int, default=1)
+    ap.add_argument("--shot", type=int, default=5)
+    ap.add_argument("--init-iter", type=int, default=50)
+    ap.add_argument("--no-mixup-iter", type=int, default=100)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int8-heads", action="store_true")
     ap.add_argument("--bf16", action="store_true")
@@ -261,7 +453,8 @@ def main():
     ap.add_argument("--pool", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    rc = {"build": cmd_build, "train": cmd_train,
+    rc = {"build": cmd_build, "build2": cmd_build2,
+          "train": cmd_train, "train2": cmd_train2,
           "eval-ours": cmd_eval_ours, "diff": cmd_diff}[args.cmd](args)
     sys.exit(rc or 0)
 

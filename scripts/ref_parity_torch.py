@@ -84,6 +84,15 @@ def make_args(ns_extra=None):
     return ns
 
 
+def class_dims(phase: int, setting: str):
+    """Reference test.py:54-84 state machine (VOC, method 'ours')."""
+    if phase == 1:
+        return 16, 15          # num_classes (incl bg), src_cls_dim
+    if setting == "incre":
+        return 21, 15
+    return 21, 60              # transfer 'ours'
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, ".parity"))
@@ -92,7 +101,15 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--phase", type=int, default=1,
+                    help="2: evaluate a phase-2 (CT-head) checkpoint")
+    ap.add_argument("--setting", default="incre",
+                    choices=["incre", "transfer"])
+    ap.add_argument("--split", type=int, default=1)
     args_cli = ap.parse_args()
+    if args_cli.phase == 2 and not args_cli.eval_only:
+        ap.error("--phase 2 supports --eval-only (training is the TPU "
+                 "stack's job; scripts/real_parity.py train2)")
 
     install_stubs()
     import torch
@@ -121,9 +138,10 @@ def main():
     from models.RFB_Net_vgg import build_net
     from utils.nms_wrapper import nms
 
-    num_classes, src_cls_dim = 16, 15
+    num_classes, src_cls_dim = class_dims(args_cli.phase, args_cli.setting)
     rgb_means = (104, 117, 123)
-    args = make_args()
+    args = make_args({"phase": args_cli.phase, "setting": args_cli.setting,
+                      "split": args_cli.split})
     priors = PriorBox(VOC_300).forward()
 
     model = build_net(args, 300, src_cls_dim)
@@ -173,8 +191,10 @@ def main():
     # ---- reference eval path (test.py:96-175 replica) ---------------------
     model.eval()
     detector = Detect(num_classes, 0, VOC_300)
-    test_ds = VOCDetection(args, devkit, [("2007", "test")], None,
-                           AnnotationTransform(args.split), True)
+    test_ds = VOCDetection(
+        args, devkit, [("2007", "test")], None,
+        AnnotationTransform(0 if args.setting == "transfer"
+                            else args.split), True)
     transform = BaseTransform(model.size, rgb_means, (2, 0, 1))
     n = len(test_ds)
     all_boxes = [[[] for _ in range(n)] for _ in range(num_classes)]
@@ -236,7 +256,9 @@ def main():
     from data.voc0712 import VOC_CLASSES
 
     aps = {}
-    for cls in VOC_CLASSES[args.split][1:16]:
+    split = 0 if args.setting == "transfer" else args.split
+    eval_classes = VOC_CLASSES[split][1:num_classes]
+    for cls in eval_classes:
         fn = test_ds._get_voc_results_file_template().format(cls)
         _, _, ap_val = voc_eval(fn, annopath, imagesetfile, cls, cachedir,
                                 ovthresh=0.5, use_07_metric=True)
@@ -244,6 +266,12 @@ def main():
     m_ap = float(np.mean(list(aps.values())))
     result = {"mAP": m_ap, "APs": aps, "iters": args_cli.iters,
               "images": args_cli.images}
+    if args_cli.phase == 2 and args.setting == "incre":
+        vals = [aps[c] for c in eval_classes]
+        result["base_mAP"] = float(np.mean(vals[:15]))
+        result["novel_mAP"] = float(np.mean(vals[15:]))
+        print("base mAP:", result["base_mAP"],
+              " novel mAP:", result["novel_mAP"])
     with open(os.path.join(out, "ref_eval.json"), "w") as f:
         json.dump(result, f, indent=1)
     print("reference mAP:", m_ap)

@@ -373,7 +373,7 @@ def main(argv=None):
         quant = quantize_variables(
             variables["params"], calib,
             skip=SKIP_CT_ONLY if args.int8_heads else SKIP_DEFAULT,
-            chains=vgg_pool_chains(args.size))
+            chains=vgg_pool_chains(img_dim))
         n_q = sum(
             1 for path, _ in jtu.tree_leaves_with_path(quant)
             if path and getattr(path[-1], "key", "") == "kernel_int8"

@@ -105,10 +105,15 @@ def test_device_augment_distribution_matches_host():
     output-image statistics. The pipelines are structurally different
     (sequential host ops vs one fused affine), so we assert summary
     statistics, not samples."""
+    import random as _random
+
     from ct_tpu.config import RGB_MEANS
     from ct_tpu.data.augment import TrainAugment, RawCanvasTransform
     from ct_tpu.data.augment_jax import augment_batch
 
+    # the host pipeline draws from the GLOBAL `random` module (reference
+    # semantics) — seed it so this test is independent of suite order
+    _random.seed(12)
     rng = np.random.RandomState(0)
     s0 = 256
     img = np.full((s0, s0, 3), 128, np.uint8)

@@ -240,3 +240,34 @@ def test_loader_restart_isolates_generations(devkit):
         np.testing.assert_array_equal(b1["labels"], b2["labels"])
     l1.stop()
     ref.stop()
+
+
+class _PicklableDS:
+    """Module-level (spawn-picklable) synthetic dataset for the
+    process-pool loader test."""
+
+    def __len__(self):
+        return 32
+
+    def __getitem__(self, i):
+        img = np.full((8, 8, 3), i, np.float32)
+        t = np.asarray([[0.1, 0.1, 0.5, 0.5, float(i % 3), 1.0]],
+                       np.float32)
+        return img, t
+
+
+def test_process_loader_matches_thread_loader():
+    """workers='process' (the reference's DataLoader scaling model,
+    train.py:192-199) must emit the identical deterministic batch stream
+    as the thread pool — it is a throughput knob, not a semantics change."""
+    lt = Loader(_PicklableDS(), 4, num_workers=2, max_objs=4, seed=7,
+                workers="thread")
+    bt = [lt.next() for _ in range(5)]
+    lt.stop()
+    lp = Loader(_PicklableDS(), 4, num_workers=2, max_objs=4, seed=7,
+                workers="process")
+    bp = [lp.next() for _ in range(5)]
+    lp.stop()
+    for a, b in zip(bt, bp):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -48,7 +48,15 @@ def parse_args(argv=None):
     parser.add_argument("--ndev", type=int, default=0,
                         help="Devices in the data-parallel mesh (0 = all)")
     parser.add_argument("--num-workers", type=int, default=4,
-                        help="Host data-pipeline worker threads")
+                        help="Host data-pipeline workers")
+    parser.add_argument("--worker-type", default="thread",
+                        choices=["thread", "process"],
+                        help="Loader worker pool: threads (production "
+                             "--device-augment route) or spawn processes "
+                             "(the reference's DataLoader scaling model; "
+                             "use for the host-augment parity pipeline, "
+                             "whose ~13 ms/img TrainAugment needs ~9 cores "
+                             "to feed the train step)")
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--weight-decay", type=float, default=5e-4)
     parser.add_argument("--gamma", type=float, default=0.1)
@@ -253,7 +261,8 @@ def main(argv=None):
     schedule = warmup_multistep_schedule(solver_cfg)
 
     loader = Loader(dataset, args.batch_size, num_workers=args.num_workers,
-                    max_objs=args.max_objs, seed=0)
+                    max_objs=args.max_objs, seed=0,
+                    workers=args.worker_type)
 
     # --- phase-2 'ours' extras: OBJ_Target init + mixup -------------------
     device_mixup = False
