@@ -295,6 +295,34 @@ def main():
                 f"batch 64, accum 4)")
         except Exception as e:  # pragma: no cover - defensive
             log(f"512 train bench failed: {e!r}")
+        try:
+            # 512 serving (bf16; P=32756, K=4964 exercises the kernel's
+            # VMEM-shrunk block_q path on hardware — ct_attention.py
+            # _fit_block_q)
+            b512 = 32
+            state512 = init_train_state(
+                net512, None, jax.random.PRNGKey(0), 512)
+            eval512 = make_eval_step(
+                net512, priors512, approx_top_k=on_tpu,
+                top_k=128 if on_tpu else 200,
+                pool_size=512 if on_tpu else 0)
+            img512 = jnp.asarray(
+                rng.randn(b512, 512, 512, 3).astype(np.float32) * 50)
+            sz512 = jnp.asarray(np.full((b512, 2), 700, np.int32))
+            fetch_sync(eval512(state512.params, state512.batch_stats,
+                               img512, sz512))
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    d = eval512(state512.params, state512.batch_stats,
+                                img512, sz512)
+                fetch_sync(d)
+                dt = min(dt, time.perf_counter() - t0)
+            log(f"serve 512: {b512 * 8 / dt:.1f} images/sec/chip "
+                f"(bf16, batch {b512})")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"512 serve bench failed: {e!r}")
 
 
 if __name__ == "__main__":

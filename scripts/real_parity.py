@@ -368,6 +368,9 @@ def cmd_eval_ours(args):
     if args.int8:
         extra += ["--int8"]
         name += "_int8"
+        if args.calib_images != 8:
+            extra += ["--calib-images", str(args.calib_images)]
+            name += f"_c{args.calib_images}"
     if args.int8_heads:
         extra += ["--int8-heads"]
         name += "h"
@@ -447,6 +450,8 @@ def main():
     ap.add_argument("--init-iter", type=int, default=50)
     ap.add_argument("--no-mixup-iter", type=int, default=100)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--calib-images", type=int, default=8,
+                    help="int8 calibration set size (sweep: 8/32/128)")
     ap.add_argument("--int8-heads", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--approx", action="store_true")
