@@ -190,15 +190,16 @@ def max_pool2d(
         return max(0, needed)
 
     pads = ((ph, ph + extra(h, kh, sh, ph)), (pw, pw + extra(w, kw, sw, pw)))
-    if ((kh, kw) == (sh, sw) and (ph, pw) == (0, 0)
-            and jnp.issubdtype(x.dtype, jnp.floating)):
-        # disjoint windows: fused elementwise backward (see
-        # _max_pool_nonoverlap) — covers every pool in this model except
-        # the 19×19 pool5 (3×3 stride 1), handled just below
-        return _max_pool_nonoverlap(x, (kh, kw), (pads[0][1], pads[1][1]))
-    if ((kh, kw, sh, sw, ph, pw) == (3, 3, 1, 1, 1, 1)
-            and jnp.issubdtype(x.dtype, jnp.floating)):
-        return _max_pool_3x3_s1_p1(x)
+    # NOTE (r4): the custom fused-elementwise pool VJPs
+    # (_max_pool_nonoverlap / _max_pool_3x3_s1_p1) are NOT routed here —
+    # measured on v5e (scripts/bench_pool.py) they LOSE to XLA's
+    # select-and-scatter backward at every production shape
+    # (300²×64: 34.7 vs 22.7 ms fwd+bwd; 150²×128: 6.9 vs 2.9;
+    # 75²×256: 4.8 vs 2.5; 38²×512: 2.2 vs 1.8 — the eq-mask/where
+    # chains cost more HBM passes than the windowed scatter). Tie routing
+    # is first-max in both, so this is purely a speed choice; the custom
+    # VJPs stay gradient-exact and tested for any future layout where
+    # they win.
     if x.dtype == jnp.int8:
         # int8 serving path (chained quantization across pools): flax's
         # nn.max_pool initializes with -inf, which has no int8 value. Pad

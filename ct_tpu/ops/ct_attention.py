@@ -281,7 +281,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wz_ref, g_ref,
 
 
 def _bwd_kernel_cm(q_ref, k_ref, v_ref, wz_ref, g_ref,
-                   dq_ref, dk_ref, dv_ref, dwz_ref, *, p_total: int):
+                   dq_ref, dk_ref, dv_ref, dwz_ref,
+                   dk_acc, dv_acc, dwz_acc, *, p_total: int):
     """Class-major blockwise backward (anchors on the 128-lane axis).
 
     Same math as `_bwd_kernel`, but every tensor is transposed so the
@@ -293,10 +294,14 @@ def _bwd_kernel_cm(q_ref, k_ref, v_ref, wz_ref, g_ref,
     runs at full tile occupancy.
 
     Blocks: q/g/dq [1, C, bq]; k/v/dk/dv [1, C, K]; wz [C, 1];
-    dwz [1, C, 1]. dk/dv/dwz accumulate across q blocks (the sequential
-    TPU grid revisits the same output block while i is fixed).
+    dwz [1, C, 1]. dk/dv/dwz accumulate across q blocks in VMEM
+    *scratch* (dk_acc/dv_acc/dwz_acc) and are written to the outputs
+    only at the final q block: accumulating directly through the output
+    refs re-flushed each revisited block to HBM every grid step —
+    ~0.9 MB × 2 × (P/bq) per image, ≈2.6 GB/step at batch 64.
     """
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
     mm_t = q_ref.dtype
     q = q_ref[0]                             # [C, bq]
     k = k_ref[0]                             # [C, K]
@@ -318,9 +323,10 @@ def _bwd_kernel_cm(q_ref, k_ref, v_ref, wz_ref, g_ref,
     )                                        # [K, bq]
     s_max = jnp.max(s, axis=0, keepdims=True)
     e = jnp.exp(s - s_max)
-    attn = e / jnp.sum(e, axis=0, keepdims=True)
-    attn = jnp.where(live, attn, 0.0)        # kill padded cols (may be nan)
-    attn_m = attn.astype(mm_t)
+    inv = 1.0 / jnp.sum(e, axis=0, keepdims=True)    # [1, bq]
+    # no f32 [K, bq] attn buffer: normalize+mask straight into the bf16
+    # matmul operand (the f32 copy only ever fed this cast)
+    attn_m = jnp.where(live, e * inv, 0.0).astype(mm_t)
     gv = jnp.where(live, g * wz, 0.0)        # [C, bq] f32
     gv_m = gv.astype(mm_t)
 
@@ -353,15 +359,21 @@ def _bwd_kernel_cm(q_ref, k_ref, v_ref, wz_ref, g_ref,
 
     @pl.when(j == 0)
     def _init():
-        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
-        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
-        dwz_ref[0] = dwz_blk.astype(dwz_ref.dtype)
+        dk_acc[...] = dk_blk
+        dv_acc[...] = dv_blk
+        dwz_acc[...] = dwz_blk
 
     @pl.when(j > 0)
     def _accum():
-        dk_ref[0] = dk_ref[0] + dk_blk.astype(dk_ref.dtype)
-        dv_ref[0] = dv_ref[0] + dv_blk.astype(dv_ref.dtype)
-        dwz_ref[0] = dwz_ref[0] + dwz_blk.astype(dwz_ref.dtype)
+        dk_acc[...] = dk_acc[...] + dk_blk
+        dv_acc[...] = dv_acc[...] + dv_blk
+        dwz_acc[...] = dwz_acc[...] + dwz_blk
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dwz_ref[0] = dwz_acc[...].astype(dwz_ref.dtype)
 
 
 def _fit_block_q_bwd(block_q: int, kk: int) -> int:
@@ -404,6 +416,11 @@ def _bwd_call_cm(q_cm, k_cm, v_cm, wz, g_cm, block_q: int = 512,
             jax.ShapeDtypeStruct((b, c, kk), jnp.float32),
             jax.ShapeDtypeStruct((b, c, kk), jnp.float32),
             jax.ShapeDtypeStruct((b, c, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, kk), jnp.float32),
+            pltpu.VMEM((c, kk), jnp.float32),
+            pltpu.VMEM((c, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * b * p * kk * c,

@@ -293,28 +293,38 @@ def cmd_train(args):
     devkit = os.path.join(args.out, "voc", "VOCdevkit")
     task = resolve_task(1, "incre", "ours", "VOC")
     on_tpu = jax.devices()[0].platform == "tpu"
-    log(f"device: {jax.devices()[0]}  (phase-1 incre split-1)")
+    size = args.size
+    log(f"device: {jax.devices()[0]}  (phase-1 incre split-1, size {size})")
 
+    canvas = 384 if size == 300 else (size * 5 + 3) // 4
     dataset = VOCDetection(
         devkit, [("2007", "trainval"), ("2012", "trainval")],
-        RawCanvasTransform(384), AnnotationTransform(1),
+        RawCanvasTransform(canvas), AnnotationTransform(1),
         phase=1, setting="incre", split=1,
     )
     log(f"train dataset: {len(dataset)} images")
 
     loader = _device_dataset(dataset, args.batch)
 
-    net = build_net(task, 300, dtype=jnp.bfloat16 if on_tpu else None)
-    priors = prior_boxes(VOC_300)
+    from ct_tpu.config import get_config
+
+    net = build_net(task, size, dtype=jnp.bfloat16 if on_tpu else None)
+    if on_tpu and task.has_ct_head:
+        import dataclasses
+
+        net = dataclasses.replace(net, use_pallas_ct=True)
+    priors = prior_boxes(get_config("VOC", size) if size != 300
+                         else VOC_300)
     cfg = SolverConfig(
         lr=args.lr, steps=(int(args.iters * 0.7), int(args.iters * 0.9)),
         warmup_iters=min(500, args.iters // 6),
     )
-    state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
+    state = init_train_state(net, None, jax.random.PRNGKey(0), size)
     tx = build_fused_optimizer(state.params, task, cfg)
     state = TrainState(state.params, state.batch_stats,
                        tx.init(state.params), state.step)
-    step = make_train_step(net, priors, task, tx)
+    step = make_train_step(net, priors, task, tx,
+                           accum_steps=args.accum)
 
     path = os.path.join(args.out, args.export_name)
 
@@ -337,7 +347,7 @@ def cmd_train(args):
             jax.random.fold_in(jax.random.PRNGKey(1), it),
             jnp.asarray(b["image"]), jnp.asarray(b["boxes"]),
             jnp.asarray(b["labels"]), jnp.asarray(b["valid"]),
-            out_size=300,
+            out_size=size,
         )
         tc = time.time()
         state, last_metrics = step(state, dict(aug, weights=jnp.asarray(
@@ -384,6 +394,10 @@ def cmd_eval_ours(args):
         extra += ["--pool-size", "512"]
         name += "_pool"
     save = os.path.join(args.out, name)
+    if args.size != 300:
+        extra += ["-s", str(args.size)]
+        name += f"_{args.size}"
+        save = os.path.join(args.out, name)
     res = test_cli.main([
         "-d", "VOC", "-p", str(args.phase), "--setting", "incre",
         "--split", "1",
@@ -442,6 +456,10 @@ def main():
     ap.add_argument("--test-images", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--size", type=int, default=300,
+                    help="input resolution (300 or 512)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps (512@64: 4)")
     ap.add_argument("--lr", type=float, default=4e-3)
     ap.add_argument("--export-name", default="ref_model.pth")
     # phase-2 (train2 / eval-ours / diff)
