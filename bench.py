@@ -79,8 +79,15 @@ def bench_train(jax, jnp, np, net, priors, task, batch: int = 64,
     ]
     t = pad_targets(annos, max_objs=16)
     b = {
+        # images arrive in the model's compute dtype — what the production
+        # --device-augment pipeline emits (augment_jax.augment_batch
+        # out_dtype): the [B,S,S,3] feed is lane-padded 3→128 by the TPU
+        # tiled layout, and a f32 feed pays ~3 GB/step of padded reads at
+        # batch 64 (in-step cast + conv1_1 fwd + conv1_1 wgrad re-read).
+        # Numerically identical: the first conv promotes to bf16 anyway.
         "image": jnp.asarray(
-            rng.randn(batch, size, size, 3).astype(np.float32) * 50),
+            rng.randn(batch, size, size, 3).astype(np.float32) * 50,
+            net.dtype or jnp.float32),
         "boxes": jnp.asarray(t.boxes), "labels": jnp.asarray(t.labels),
         "weights": jnp.asarray(t.weights), "valid": jnp.asarray(t.valid),
     }

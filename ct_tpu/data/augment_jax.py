@@ -26,7 +26,7 @@ constraints).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -277,8 +277,10 @@ def mixup_batch(
     offset = jax.random.randint(k_off, (), 1, max(b, 2))
 
     partner = lambda x: jnp.roll(x, shift=offset, axis=0)
+    # blend in f32, emit in the incoming image dtype (bf16 feed stays bf16)
     mixed = (lam[:, None, None, None] * images
-             + (1.0 - lam)[:, None, None, None] * partner(images))
+             + (1.0 - lam)[:, None, None, None] * partner(images)
+             ).astype(images.dtype)
 
     w1 = batch["weights"] * lam[:, None]
     w2 = partner(batch["weights"]) * (1.0 - lam)[:, None]
@@ -298,7 +300,8 @@ def mixup_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_size", "expand_prob", "means")
+    jax.jit, static_argnames=("out_size", "expand_prob", "means",
+                              "out_dtype")
 )
 def augment_batch(
     rng: jax.Array,
@@ -309,10 +312,18 @@ def augment_batch(
     out_size: int = 300,
     expand_prob: float = 0.6,
     means: Tuple[float, float, float] = RGB_MEANS,
+    out_dtype: Optional[Any] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched on-device augmentation → mean-subtracted [B, out, out, 3]
     images and transformed fixed-shape targets. Accepts uint8 canvases
-    (the loader ships them un-converted; one batched cast here)."""
+    (the loader ships them un-converted; one batched cast here).
+
+    ``out_dtype``: emit images in the model's compute dtype (bf16 on TPU).
+    The [B,S,S,3] image is lane-padded 3→128 by the TPU tiled layout, so
+    an f32 feed costs the train step ~3 GB/step of padded HBM reads at
+    batch 64 (in-step cast + conv1_1 fwd + conv1_1 weight-grad re-read);
+    casting here halves that. Numerics are identical to feeding f32 — the
+    first conv promotes its input to the compute dtype either way."""
     images = images.astype(jnp.float32)
     rngs = jax.random.split(rng, images.shape[0])
     img, bx, lb, vd = jax.vmap(
@@ -320,4 +331,6 @@ def augment_batch(
             r, i, b, l, v, out_size, expand_prob, means
         )
     )(rngs, images, boxes, labels, valid)
+    if out_dtype is not None:
+        img = img.astype(out_dtype)
     return {"image": img, "boxes": bx, "labels": lb, "valid": vd}

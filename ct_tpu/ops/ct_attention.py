@@ -94,10 +94,16 @@ def _kernel(q_ref, k_ref, v_ref, base_ref, wz_ref, out_ref):
 
 def _fit_block_q(block_q: int, kk: int) -> int:
     """Shrink the query block so the f32 [bq, K] affinity (+exp) buffers fit
-    the ~16 MB VMEM scoped limit. K=1858 (@300) keeps bq=1024; K=4964
-    (@512) drops to bq=256 — without this the kernel fails to compile at
-    512 resolution."""
-    while block_q > 128 and block_q * kk * 8 > 15_500_000:
+    the ~16 MB VMEM scoped limit. K=1858 (@300) keeps bq=1024.
+
+    Large K needs a bigger per-element budget: at K=4964 (@512 res) the
+    8 B/elem model picked bq=256, but Mosaic's measured scoped peak for
+    the class-major forward was 19.8 MB (extra retiling/exp temporaries
+    that only materialize at large K), an on-hardware OOM at compile.
+    16 B/elem reproduces both measured points — bq=1024 @K=1858 compiles
+    and runs (unchanged here), bq=256 @K=4964 does not (→ bq=128)."""
+    bytes_per = 8 if kk <= 2048 else 16
+    while block_q > 128 and block_q * kk * bytes_per > 15_500_000:
         block_q //= 2
     return block_q
 
@@ -379,8 +385,12 @@ def _bwd_kernel_cm(q_ref, k_ref, v_ref, wz_ref, g_ref,
 def _fit_block_q_bwd(block_q: int, kk: int) -> int:
     """Backward VMEM budget: ≈10 bytes/element of [bq, K] live at peak
     (one f32 intermediate + bf16 attn/ds + f32 dattn with the f32
-    s/e freed early) → K=1858 admits bq=512; K=4964 (@512 res) bq=256."""
-    while block_q > 128 and block_q * kk * 10 > 15_500_000:
+    s/e freed early) → K=1858 admits bq=512. Large K pays the same
+    Mosaic-temporary surcharge measured on the forward (see
+    ``_fit_block_q``): double the budget beyond K=2048 → K=4964 (@512
+    res) drops to bq=128 instead of the 256 the 10 B model would pick."""
+    bytes_per = 10 if kk <= 2048 else 20
+    while block_q > 128 and block_q * kk * bytes_per > 15_500_000:
         block_q //= 2
     return block_q
 

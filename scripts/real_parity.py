@@ -415,9 +415,11 @@ def cmd_eval_ours(args):
 
 
 def cmd_diff(args):
+    ours_name = ("ours_eval" if args.size == 300
+                 else f"ours_eval_{args.size}")
     with open(os.path.join(args.out, "ref_eval.json")) as f:
         ref = json.load(f)
-    with open(os.path.join(args.out, "ours_eval.json")) as f:
+    with open(os.path.join(args.out, ours_name + ".json")) as f:
         ours = json.load(f)
     delta = abs(ref["mAP"] - ours["mAP"])
     log(f"reference mAP {ref['mAP']:.4f}  ours {ours['mAP']:.4f}  "
@@ -429,7 +431,7 @@ def cmd_diff(args):
 
     from ct_tpu.tools.diff_detections import diff
 
-    det_ours = os.path.join(args.out, "ours_eval", "inference",
+    det_ours = os.path.join(args.out, ours_name, "inference",
                             "detections.pkl")
     det_ref = os.path.join(args.out, "detections_ref.pkl")
     if os.path.exists(det_ours) and os.path.exists(det_ref):

@@ -106,6 +106,8 @@ def main():
     ap.add_argument("--setting", default="incre",
                     choices=["incre", "transfer"])
     ap.add_argument("--split", type=int, default=1)
+    ap.add_argument("--size", type=int, default=300,
+                    help="input resolution (300 or 512; ref test.py:16-43)")
     args_cli = ap.parse_args()
     if args_cli.phase == 2 and not args_cli.eval_only:
         ap.error("--phase 2 supports --eval-only (training is the TPU "
@@ -131,7 +133,7 @@ def main():
 
     from data import VOCDetection, AnnotationTransform, detection_collate
     from data import preproc, BaseTransform
-    from data.config import VOC_300
+    from data.config import VOC_300, VOC_512
     from data.voc_eval import voc_eval
     from layers.functions import PriorBox, Detect
     from layers.modules.multibox_loss_combined import MultiBoxLoss_combined
@@ -141,10 +143,11 @@ def main():
     num_classes, src_cls_dim = class_dims(args_cli.phase, args_cli.setting)
     rgb_means = (104, 117, 123)
     args = make_args({"phase": args_cli.phase, "setting": args_cli.setting,
-                      "split": args_cli.split})
-    priors = PriorBox(VOC_300).forward()
+                      "split": args_cli.split, "size": str(args_cli.size)})
+    cfg = VOC_512 if args_cli.size == 512 else VOC_300
+    priors = PriorBox(cfg).forward()
 
-    model = build_net(args, 300, src_cls_dim)
+    model = build_net(args, args_cli.size, src_cls_dim)
     model.device = "cpu"
     ckpt_path = os.path.join(out, "ref_model.pth")
 
@@ -152,7 +155,8 @@ def main():
         dataset = VOCDetection(
             args, devkit,
             [("2007", "trainval"), ("2012", "trainval")],
-            preproc(300, rgb_means, 0.6), AnnotationTransform(args.split),
+            preproc(args_cli.size, rgb_means, 0.6),
+            AnnotationTransform(args.split),
         )
         print(f"train dataset: {len(dataset)} images")
         from utils.sampler import TrainingSampler
@@ -190,7 +194,7 @@ def main():
 
     # ---- reference eval path (test.py:96-175 replica) ---------------------
     model.eval()
-    detector = Detect(num_classes, 0, VOC_300)
+    detector = Detect(num_classes, 0, cfg)
     test_ds = VOCDetection(
         args, devkit, [("2007", "test")], None,
         AnnotationTransform(0 if args.setting == "transfer"

@@ -57,9 +57,15 @@ def main():
         for _ in range(batch)
     ]
     t = pad_targets(annos, max_objs=16)
+    img = rng.randn(batch, 300, 300, 3).astype(np.float32) * 50
+    # A/B: CT_IMG_BF16=1 feeds the step bf16 images (what a bf16-emitting
+    # device-augment pipeline produces). The [B,300,300,3] image is lane-
+    # padded 3→128 on TPU, so the f32 feed pays ~3 GB of padded reads per
+    # step (in-step cast + conv1_1 fwd + conv1_1 wgrad); bf16 halves it.
+    # Numerically identical: the conv promotes to bf16 either way.
+    dt = jnp.bfloat16 if os.environ.get("CT_IMG_BF16") else jnp.float32
     b = {
-        "image": jnp.asarray(
-            rng.randn(batch, 300, 300, 3).astype(np.float32) * 50),
+        "image": jnp.asarray(img, dt),
         "boxes": jnp.asarray(t.boxes), "labels": jnp.asarray(t.labels),
         "weights": jnp.asarray(t.weights), "valid": jnp.asarray(t.valid),
     }

@@ -267,8 +267,35 @@ def main(argv=None):
     # --- phase-2 'ours' extras: OBJ_Target init + mixup -------------------
     device_mixup = False
     if task.has_ct_head:
+        rw_loader = loader
+        if args.device_augment:
+            # the Loader ships raw canvases on this route; init_reweight
+            # must see AUGMENTED images at the model resolution (the
+            # reference augments inside its DataLoader workers, so its
+            # init forward runs on preproc'd 300² batches, train.py:263).
+            # Never mixed: the reference inits before dataset.set_mixup.
+            from ct_tpu.data.augment_jax import augment_batch
+
+            class _AugAdapter:
+                def __init__(self):
+                    self.i = 0
+
+                def next(self):
+                    self.i += 1
+                    b = loader.next()
+                    a = augment_batch(
+                        jax.random.fold_in(jax.random.PRNGKey(3), self.i),
+                        jax.numpy.asarray(b["image"]),
+                        jax.numpy.asarray(b["boxes"]),
+                        jax.numpy.asarray(b["labels"]),
+                        jax.numpy.asarray(b["valid"]),
+                        out_size=img_dim, out_dtype=dtype,
+                    )
+                    return dict(a, weights=jax.numpy.asarray(b["weights"]))
+
+            rw_loader = _AugAdapter()
         state = init_reweight(
-            args, net, state, loader, priors, task, logger=logger
+            args, net, state, rw_loader, priors, task, logger=logger
         )
         if args.mixup and args.device_augment:
             device_mixup = True   # batch-level mixup fused into the device
@@ -341,6 +368,9 @@ def main(argv=None):
                 jax.numpy.asarray(batch["labels"]),
                 jax.numpy.asarray(batch["valid"]),
                 out_size=img_dim,
+                # emit compute-dtype images: the lane-padded [B,S,S,3]
+                # feed halves its HBM traffic in bf16 (augment_jax docs)
+                out_dtype=dtype,
             )
             batch = dict(aug, weights=weights)
             if device_mixup:
