@@ -36,6 +36,28 @@ from ct_tpu.ops.matching import match_batch
 from ct_tpu.parallel.mesh import DATA_AXIS
 
 
+def _get_shard_map():
+    """Version-guarded shard_map import.
+
+    jax.shard_map (the 0.9-era new entry point) deadlocks the XLA-CPU
+    collective rendezvous on virtual-device meshes in jax 0.9.0, so we
+    prefer ``jax.experimental.shard_map`` while it exists (its
+    DeprecationWarning is silenced — the pin is deliberate); on a
+    toolchain that has removed the experimental alias we fall back to
+    ``jax.shard_map``, by which point the rendezvous bug is presumed
+    fixed upstream.
+    """
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.experimental.shard_map import shard_map  # jax<=0.9.x
+        return shard_map
+    except ImportError:  # jax>=0.10: experimental alias removed
+        return jax.shard_map
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -158,11 +180,7 @@ def make_train_step(
     # shard_map: explicit per-device program + psum — compiles the
     # single-device graph once (GSPMD auto-partitioning of the full
     # backward is prohibitively slow to compile for this model)
-    # NOTE: jax.shard_map (the new entry point) deadlocks the XLA-CPU
-    # collective rendezvous on virtual-device meshes in jax 0.9.0; the
-    # experimental entry point lowers the old way and works. Revisit on
-    # upgrade.
-    from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     batch_specs = {
         "image": P(DATA_AXIS), "boxes": P(DATA_AXIS),
@@ -221,11 +239,7 @@ def make_eval_step(
 
     if mesh is None:
         return jax.jit(step)
-    # NOTE: jax.shard_map (the new entry point) deadlocks the XLA-CPU
-    # collective rendezvous on virtual-device meshes in jax 0.9.0; the
-    # experimental entry point lowers the old way and works. Revisit on
-    # upgrade.
-    from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     sharded = shard_map(
         step, mesh=mesh,

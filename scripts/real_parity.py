@@ -185,30 +185,40 @@ def cmd_train2(args):
     )
 
     devkit = os.path.join(args.out, "voc", "VOCdevkit")
-    task = resolve_task(2, "incre", "ours", "VOC")
+    task = resolve_task(2, args.setting, "ours", "VOC")
     on_tpu = jax.devices()[0].platform == "tpu"
-    log(f"device: {jax.devices()[0]}  (phase-2 incre split-1, "
-        f"{args.shot}-shot)")
+    size = args.size
+    log(f"device: {jax.devices()[0]}  (phase-2 {args.setting} split-1, "
+        f"{args.shot}-shot, size {size})")
 
     # phase-2 incre trains on 2007 1_box instance shots (train.py:157-158);
-    # all but each image's first object become ignore labels (-1)
+    # all but each image's first object become ignore labels (-1).
+    # transfer uses the trainval_Kshot image-shot lists over 07+12 (no
+    # ignore masking; reference train.py:93-98).
+    canvas = 384 if size == 300 else (size * 5 + 3) // 4
+    train_sets = ([("2007", "trainval")] if args.setting == "incre"
+                  else [("2007", "trainval"), ("2012", "trainval")])
     dataset = VOCDetection(
-        devkit, [("2007", "trainval")],
-        RawCanvasTransform(384), AnnotationTransform(1),
-        phase=2, setting="incre", split=1, shot=args.shot,
+        devkit, train_sets,
+        RawCanvasTransform(canvas),
+        AnnotationTransform(0 if args.setting == "transfer" else 1),
+        phase=2, setting=args.setting, split=1, shot=args.shot,
     )
     log(f"train dataset: {len(dataset)} shot images")
     loader = _device_dataset(dataset, args.batch)
 
-    net = build_net(task, 300, dtype=jnp.bfloat16 if on_tpu else None)
+    from ct_tpu.config import get_config
+
+    net = build_net(task, size, dtype=jnp.bfloat16 if on_tpu else None)
     if on_tpu:
         net = dataclasses.replace(net, use_pallas_ct=True)
-    priors = prior_boxes(VOC_300)
-    state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
+    priors = prior_boxes(get_config("VOC", size) if size != 300
+                         else VOC_300)
+    state = init_train_state(net, None, jax.random.PRNGKey(0), size)
 
     ck = Checkpointer(os.path.join(args.out, "p2_weights"))
     loaded = ck.resume_or_load(
-        os.path.join(args.out, "phase1.pth"),
+        os.path.join(args.out, args.phase1_name),
         state.params, state.batch_stats, resume=False, load_optimizer=False,
     )
     cfg = SolverConfig(
@@ -222,7 +232,7 @@ def cmd_train2(args):
     # calls init_reweight before dataset.set_mixup (train.py:186-190)
     def aug(batch, rng):
         a = augment_batch(rng, batch["image"], batch["boxes"],
-                          batch["labels"], batch["valid"], out_size=300)
+                          batch["labels"], batch["valid"], out_size=size)
         return dict(a, weights=batch["weights"])
 
     class _AugLoader:
@@ -240,8 +250,8 @@ def cmd_train2(args):
     )
     log(f"OBJ_Target initialized from {args.init_iter} batches")
 
-    step = make_train_step(net, priors, task, tx)
-    path = os.path.join(args.out, "ref_model.pth")
+    step = make_train_step(net, priors, task, tx, accum_steps=args.accum)
+    path = os.path.join(args.out, args.export_name)
 
     t0 = time.time()
     no_mixup_from = args.iters - args.no_mixup_iter
@@ -369,37 +379,54 @@ def cmd_train(args):
     export(state, args.iters - 1)
 
 
+def _ours_name(args) -> str:
+    """Result-file stem for an eval-ours config — shared with cmd_diff so
+    a diff of a variant run (--int8/--bf16/… and/or --size 512) resolves
+    the file that eval actually wrote (ADVICE r4 #1)."""
+    name = getattr(args, "name", None)
+    if name:
+        return name
+    name = "ours_eval"
+    if args.int8:
+        name += "_int8"
+        if args.calib_images != 8:
+            name += f"_c{args.calib_images}"
+    if args.int8_heads:
+        name += "h"
+    if args.bf16:
+        name += "_bf16"
+    if args.approx:
+        name += "_approx"
+    if args.pool:
+        name += "_pool"
+    if args.size != 300:
+        name += f"_{args.size}"
+    return name
+
+
 def cmd_eval_ours(args):
     import test as test_cli
 
     os.environ["VOC_ROOT"] = os.path.join(args.out, "voc", "VOCdevkit")
-    name = "ours_eval"
+    name = _ours_name(args)
     extra = []
     if args.int8:
         extra += ["--int8"]
-        name += "_int8"
         if args.calib_images != 8:
             extra += ["--calib-images", str(args.calib_images)]
-            name += f"_c{args.calib_images}"
     if args.int8_heads:
         extra += ["--int8-heads"]
-        name += "h"
     if args.bf16:
         extra += ["--bf16"]
-        name += "_bf16"
     if args.approx:
         extra += ["--approx-topk", "on", "--top-k", "128"]
-        name += "_approx"
     if args.pool:
         extra += ["--pool-size", "512"]
-        name += "_pool"
-    save = os.path.join(args.out, name)
     if args.size != 300:
         extra += ["-s", str(args.size)]
-        name += f"_{args.size}"
-        save = os.path.join(args.out, name)
+    save = os.path.join(args.out, name)
     res = test_cli.main([
-        "-d", "VOC", "-p", str(args.phase), "--setting", "incre",
+        "-d", "VOC", "-p", str(args.phase), "--setting", args.setting,
         "--split", "1",
         "--load-file", os.path.join(args.out, "ref_model.pth"),
         "--save-folder", save, "-b", "32", *extra,
@@ -415,8 +442,7 @@ def cmd_eval_ours(args):
 
 
 def cmd_diff(args):
-    ours_name = ("ours_eval" if args.size == 300
-                 else f"ours_eval_{args.size}")
+    ours_name = _ours_name(args)
     with open(os.path.join(args.out, "ref_eval.json")) as f:
         ref = json.load(f)
     with open(os.path.join(args.out, ours_name + ".json")) as f:
@@ -438,14 +464,17 @@ def cmd_diff(args):
         stats = diff(det_ours, det_ref)
         log(json.dumps(stats, indent=1, default=float))
     ok = delta < 0.003 and ref["mAP"] >= 0.3
-    if args.phase == 2:
+    check_novel = args.phase == 2 and args.setting == "incre"
+    if check_novel:
         # the decisive quantity for the CT head is the NOVEL-class mAP
+        # (transfer: every class is novel — the top-line mAP IS the
+        # novel metric, reference README.md:14-28)
         ok = (ok and "novel_mAP" in ref and "novel_mAP" in ours
               and ref["novel_mAP"] >= 0.3
               and abs(ref["novel_mAP"] - ours["novel_mAP"]) < 0.003)
     log("PASS" if ok else "FAIL",
         "(target: |delta| < 0.003 at mAP >= 0.3"
-        + (", novel_mAP >= 0.3" if args.phase == 2 else "") + ")")
+        + (", novel_mAP >= 0.3" if check_novel else "") + ")")
     return 0 if ok else 1
 
 
@@ -464,8 +493,16 @@ def main():
                     help="gradient-accumulation micro-steps (512@64: 4)")
     ap.add_argument("--lr", type=float, default=4e-3)
     ap.add_argument("--export-name", default="ref_model.pth")
+    ap.add_argument("--name", default=None,
+                    help="override the eval/diff result-file stem "
+                         "(default: derived from the variant flags)")
     # phase-2 (train2 / eval-ours / diff)
     ap.add_argument("--phase", type=int, default=1)
+    ap.add_argument("--setting", default="incre",
+                    choices=["incre", "transfer"],
+                    help="phase-2 protocol (train2/eval-ours/diff)")
+    ap.add_argument("--phase1-name", default="phase1.pth",
+                    help="phase-1 checkpoint consumed by train2")
     ap.add_argument("--shot", type=int, default=5)
     ap.add_argument("--init-iter", type=int, default=50)
     ap.add_argument("--no-mixup-iter", type=int, default=100)
