@@ -328,6 +328,38 @@ def main():
                 dt = min(dt, time.perf_counter() - t0)
             log(f"serve 512: {b512 * 8 / dt:.1f} images/sec/chip "
                 f"(bf16, batch {b512})")
+            # int8 512 serving (VERDICT r4 #7 — give 512 the 300-path
+            # treatment); measured 516.7 img/s on v5e (scripts/bench_512.py)
+            from ct_tpu.models.fold_bn import fold_variables
+            from ct_tpu.models.quantize import (
+                SKIP_CT_ONLY, calibrate, quantize_variables,
+            )
+            from ct_tpu.models.rfbnet import vgg_pool_chains
+
+            fnet512 = _dc.replace(net512, fold_bn=True)
+            folded512 = fold_variables(
+                {"params": state512.params,
+                 "batch_stats": state512.batch_stats})
+            calib512 = calibrate(fnet512, folded512, [img512[:8]])
+            quant512 = jax.device_put(quantize_variables(
+                folded512["params"], calib512, skip=SKIP_CT_ONLY,
+                chains=vgg_pool_chains(512)))
+            eval512q = make_eval_step(
+                fnet512, priors512, approx_top_k=on_tpu,
+                top_k=128 if on_tpu else 200,
+                pool_size=512 if on_tpu else 0, quant=quant512)
+            fetch_sync(eval512q(folded512["params"],
+                                folded512["batch_stats"], img512, sz512))
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    d = eval512q(folded512["params"],
+                                 folded512["batch_stats"], img512, sz512)
+                fetch_sync(d)
+                dt = min(dt, time.perf_counter() - t0)
+            log(f"serve 512: {b512 * 8 / dt:.1f} images/sec/chip "
+                f"(int8, batch {b512})")
         except Exception as e:  # pragma: no cover - defensive
             log(f"512 serve bench failed: {e!r}")
 

@@ -105,6 +105,24 @@ def cmd_build2(args):
         f"test set {args.test_images}")
 
 
+def cmd_build3(args):
+    """Transfer-setting fixture pair (VERDICT r4 #3/#4):
+
+    * ``coco/`` — COCO-60 source-domain fixture (80-category registry,
+      60 annotated non-VOC classes, separated class colors) for the
+      phase-1 transfer pretrain AND the COCO-evaluator both-stacks diff;
+    * ``voc/``  — the all-20-class VOC fixture with reference-semantics
+      shot lists (same generator as build2) for the phase-2 transfer
+      5-shot fine-tune and VOC eval.
+    """
+    from fixtures import make_coco60
+
+    make_coco60(os.path.join(args.out, "coco"),
+                n_train=args.images, n_val=args.test_images)
+    cmd_build2(args)
+    log(f"coco60 fixture: {args.images} train / {args.test_images} minival")
+
+
 def _device_dataset(dataset, batch_size, max_objs=8, seed=0):
     """Decode the whole (small) fixture once, park it in HBM as uint8, and
     sample batches on device — the remote-TPU tunnel moves small per-batch
@@ -300,18 +318,31 @@ def cmd_train(args):
         TrainState, init_train_state, make_train_step,
     )
 
-    devkit = os.path.join(args.out, "voc", "VOCdevkit")
-    task = resolve_task(1, "incre", "ours", "VOC")
     on_tpu = jax.devices()[0].platform == "tpu"
     size = args.size
-    log(f"device: {jax.devices()[0]}  (phase-1 incre split-1, size {size})")
-
     canvas = 384 if size == 300 else (size * 5 + 3) // 4
-    dataset = VOCDetection(
-        devkit, [("2007", "trainval"), ("2012", "trainval")],
-        RawCanvasTransform(canvas), AnnotationTransform(1),
-        phase=1, setting="incre", split=1,
-    )
+    if args.dataset == "COCO":
+        # transfer-setting source pretrain: COCO-60 (reference
+        # train.py:99-110 — src_cls_dim 60, train split split_nonvoc)
+        from ct_tpu.data.coco import COCODetection
+
+        task = resolve_task(1, "transfer", "ours", "COCO")
+        log(f"device: {jax.devices()[0]}  (phase-1 COCO-60 transfer, "
+            f"size {size})")
+        dataset = COCODetection(
+            os.path.join(args.out, "coco"),
+            [("2014", "split_nonvoc_train")], RawCanvasTransform(canvas),
+        )
+    else:
+        devkit = os.path.join(args.out, "voc", "VOCdevkit")
+        task = resolve_task(1, "incre", "ours", "VOC")
+        log(f"device: {jax.devices()[0]}  (phase-1 incre split-1, "
+            f"size {size})")
+        dataset = VOCDetection(
+            devkit, [("2007", "trainval"), ("2012", "trainval")],
+            RawCanvasTransform(canvas), AnnotationTransform(1),
+            phase=1, setting="incre", split=1,
+        )
     log(f"train dataset: {len(dataset)} images")
 
     loader = _device_dataset(dataset, args.batch)
@@ -323,7 +354,8 @@ def cmd_train(args):
         import dataclasses
 
         net = dataclasses.replace(net, use_pallas_ct=True)
-    priors = prior_boxes(get_config("VOC", size) if size != 300
+    priors = prior_boxes(get_config(task.dataset, size)
+                         if (size, task.dataset) != (300, "VOC")
                          else VOC_300)
     cfg = SolverConfig(
         lr=args.lr, steps=(int(args.iters * 0.7), int(args.iters * 0.9)),
@@ -387,6 +419,8 @@ def _ours_name(args) -> str:
     if name:
         return name
     name = "ours_eval"
+    if args.dataset == "COCO":
+        name += "_coco"
     if args.int8:
         name += "_int8"
         if args.calib_images != 8:
@@ -408,6 +442,7 @@ def cmd_eval_ours(args):
     import test as test_cli
 
     os.environ["VOC_ROOT"] = os.path.join(args.out, "voc", "VOCdevkit")
+    os.environ["COCO_ROOT"] = os.path.join(args.out, "coco")
     name = _ours_name(args)
     extra = []
     if args.int8:
@@ -426,23 +461,29 @@ def cmd_eval_ours(args):
         extra += ["-s", str(args.size)]
     save = os.path.join(args.out, name)
     res = test_cli.main([
-        "-d", "VOC", "-p", str(args.phase), "--setting", args.setting,
-        "--split", "1",
-        "--load-file", os.path.join(args.out, "ref_model.pth"),
+        "-d", args.dataset, "-p", str(args.phase),
+        "--setting", args.setting, "--split", "1",
+        "--load-file", os.path.join(args.out, args.load_name),
         "--save-folder", save, "-b", "32", *extra,
     ])
-    out = {"mAP": float(res["mAP"]),
-           "APs": {k: float(v) for k, v in res.get("APs", {}).items()}}
-    for k in ("base_mAP", "novel_mAP"):
-        if k in res:
-            out[k] = float(res[k])
+    if args.dataset == "COCO":
+        # COCO evaluator stats (fractions) + per-category AP-<name> keys
+        out = {k: float(v) for k, v in res.items()}
+    else:
+        out = {"mAP": float(res["mAP"]),
+               "APs": {k: float(v) for k, v in res.get("APs", {}).items()}}
+        for k in ("base_mAP", "novel_mAP"):
+            if k in res:
+                out[k] = float(res[k])
     with open(os.path.join(args.out, name + ".json"), "w") as f:
         json.dump(out, f, indent=1)
-    log(name, "mAP:", out["mAP"])
+    log(name, "mAP:", out.get("mAP", out.get("AP50")))
 
 
 def cmd_diff(args):
     ours_name = _ours_name(args)
+    if args.dataset == "COCO":
+        return _diff_coco(args, ours_name)
     with open(os.path.join(args.out, "ref_eval.json")) as f:
         ref = json.load(f)
     with open(os.path.join(args.out, ours_name + ".json")) as f:
@@ -478,10 +519,51 @@ def cmd_diff(args):
     return 0 if ok else 1
 
 
+def _diff_coco(args, ours_name):
+    """Both-stacks diff through the COCO evaluator chain (VERDICT r4 #4):
+    results-json → COCOeval → stats + per-category AP on each side.
+    Decisive quantity: AP50 (the VOC-protocol IoU)."""
+    with open(os.path.join(args.out, "ref_eval_coco.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(args.out, ours_name + ".json")) as f:
+        ours = json.load(f)
+    d50 = abs(ref["AP50"] - ours["AP50"])
+    dap = abs(ref["AP"] - ours["AP"])
+    log(f"reference AP50 {ref['AP50']:.4f}  ours {ours['AP50']:.4f}  "
+        f"|delta| {d50:.5f}")
+    log(f"reference AP   {ref['AP']:.4f}  ours {ours['AP']:.4f}  "
+        f"|delta| {dap:.5f}")
+    cat_deltas = []
+    for k in ref:
+        if k.startswith("AP-") and k in ours:
+            a, b = ref[k], ours[k]
+            if a == a and b == b:  # skip NaN (class absent on both sides)
+                cat_deltas.append((abs(a - b), k))
+    if cat_deltas:
+        cat_deltas.sort(reverse=True)
+        log(f"per-category AP deltas: max {cat_deltas[0][0]:.4f} "
+            f"({cat_deltas[0][1]}), mean "
+            f"{sum(d for d, _ in cat_deltas) / len(cat_deltas):.5f} "
+            f"over {len(cat_deltas)} categories")
+
+    from ct_tpu.tools.diff_detections import diff
+
+    det_ours = os.path.join(args.out, ours_name, "inference",
+                            "detections.pkl")
+    det_ref = os.path.join(args.out, "detections_ref_coco.pkl")
+    if os.path.exists(det_ours) and os.path.exists(det_ref):
+        stats = diff(det_ours, det_ref)
+        log(json.dumps(stats, indent=1, default=float))
+    ok = d50 < 0.003 and ref["AP50"] >= 0.3
+    log("PASS" if ok else "FAIL",
+        "(target: |delta AP50| < 0.003 at AP50 >= 0.3)")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["build", "build2", "train", "train2",
-                                    "eval-ours", "diff"])
+    ap.add_argument("cmd", choices=["build", "build2", "build3", "train",
+                                    "train2", "eval-ours", "diff"])
     ap.add_argument("--out", default=os.path.join(REPO, ".parity_real"))
     ap.add_argument("--images", type=int, default=400)
     ap.add_argument("--test-images", type=int, default=128)
@@ -496,6 +578,11 @@ def main():
     ap.add_argument("--name", default=None,
                     help="override the eval/diff result-file stem "
                          "(default: derived from the variant flags)")
+    ap.add_argument("--dataset", default="VOC", choices=["VOC", "COCO"],
+                    help="train/eval-ours/diff dataset (COCO: transfer "
+                         "source pretrain + COCO-evaluator parity)")
+    ap.add_argument("--load-name", default="ref_model.pth",
+                    help="checkpoint consumed by eval-ours")
     # phase-2 (train2 / eval-ours / diff)
     ap.add_argument("--phase", type=int, default=1)
     ap.add_argument("--setting", default="incre",
@@ -515,7 +602,7 @@ def main():
     ap.add_argument("--pool", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    rc = {"build": cmd_build, "build2": cmd_build2,
+    rc = {"build": cmd_build, "build2": cmd_build2, "build3": cmd_build3,
           "train": cmd_train, "train2": cmd_train2,
           "eval-ours": cmd_eval_ours, "diff": cmd_diff}[args.cmd](args)
     sys.exit(rc or 0)

@@ -84,13 +84,113 @@ def make_args(ns_extra=None):
     return ns
 
 
-def class_dims(phase: int, setting: str):
-    """Reference test.py:54-84 state machine (VOC, method 'ours')."""
+def class_dims(phase: int, setting: str, dataset: str = "VOC"):
+    """Reference test.py:54-84 state machine (method 'ours')."""
     if phase == 1:
-        return 16, 15          # num_classes (incl bg), src_cls_dim
+        if dataset == "COCO":
+            return 61, 60      # num_classes (incl bg), src_cls_dim
+        return 16, 15
     if setting == "incre":
         return 21, 15
     return 21, 60              # transfer 'ours'
+
+
+def eval_coco(args_cli):
+    """Reference-stack COCO eval (VERDICT r4 #4): model forward → Detect →
+    per-class NMS → top-200 cap → reference `_write_coco_results_file` →
+    vendored COCOeval → `_derive_coco_results` per-category table
+    (reference data/coco.py:232-345, test.py:96-175). Writes
+    ref_eval_coco.json (fractions) + detections_ref_coco.pkl."""
+    import torch
+
+    torch.set_num_threads(max(1, os.cpu_count()))
+    from data import COCODetection, BaseTransform
+    from data.config import COCO_300, COCO_512
+    from layers.functions import PriorBox, Detect
+    from models.RFB_Net_vgg import build_net
+    from utils.nms_wrapper import nms
+
+    out = args_cli.out
+    num_classes, src_cls_dim = class_dims(1, "transfer", "COCO")
+    args = make_args({"phase": 1, "setting": "transfer",
+                      "dataset": "COCO", "size": str(args_cli.size)})
+    cfg = COCO_512 if args_cli.size == 512 else COCO_300
+    priors = PriorBox(cfg).forward()
+    model = build_net(args, args_cli.size, src_cls_dim)
+    model.device = "cpu"
+    state = torch.load(os.path.join(out, args_cli.load_name),
+                       map_location="cpu", weights_only=False)
+    model.load_state_dict(state["model"])
+    model.eval()
+
+    dataset = COCODetection(os.path.join(out, "coco"),
+                            [("2014", "split_nonvoc_minival")], None)
+    detector = Detect(num_classes, 0, cfg)
+    transform = BaseTransform(model.size, (104, 117, 123), (2, 0, 1))
+    n = len(dataset)
+    all_boxes = [[[] for _ in range(n)] for _ in range(num_classes)]
+    for i in range(n):
+        img = dataset.pull_image(i)
+        scale = torch.Tensor(
+            [img.shape[1], img.shape[0], img.shape[1], img.shape[0]])
+        with torch.no_grad():
+            x = transform(img).unsqueeze(0)
+            boxes, scores = detector.forward(model(x), priors)
+        boxes = (boxes[0] * scale).cpu().numpy()
+        scores = scores[0].cpu().numpy()
+        for j in range(1, num_classes):
+            inds = np.where(scores[:, j] > 0.01)[0]
+            if len(inds) == 0:
+                all_boxes[j][i] = np.empty([0, 5], dtype=np.float32)
+                continue
+            c_dets = np.hstack(
+                (boxes[inds], scores[inds, j, np.newaxis])
+            ).astype(np.float32, copy=False)
+            keep = nms(c_dets, 0.45, force_cpu=True)
+            all_boxes[j][i] = c_dets[keep, :]
+        image_scores = np.hstack(
+            [all_boxes[j][i][:, -1] for j in range(1, num_classes)])
+        if len(image_scores) > 200:
+            thresh = np.sort(image_scores)[-200]
+            for j in range(1, num_classes):
+                keep = np.where(all_boxes[j][i][:, -1] >= thresh)[0]
+                all_boxes[j][i] = all_boxes[j][i][keep, :]
+        if (i + 1) % 16 == 0 or i + 1 == n:
+            print(f"eval {i + 1}/{n}", flush=True)
+
+    with open(os.path.join(out, "detections_ref_coco.pkl"), "wb") as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+
+    # numpy-2 `dets == []` shim (see the VOC path note below)
+    class _DetArray(np.ndarray):
+        def __eq__(self, other):
+            if isinstance(other, list) and not other:
+                return False
+            return np.ndarray.__eq__(self, other)
+
+    shim_boxes = [
+        [(d.view(_DetArray) if getattr(d, "size", 0) else [])
+         for d in per_cls]
+        for per_cls in all_boxes
+    ]
+    res_file = os.path.join(out, "ref_results_coco.json")
+    dataset._write_coco_results_file(shim_boxes, res_file)
+
+    from utils.pycocotools.cocoeval import COCOeval
+
+    coco_dt = dataset._COCO.loadRes(res_file)
+    coco_eval = COCOeval(dataset._COCO, coco_dt, "bbox")
+    coco_eval.evaluate()
+    coco_eval.accumulate()
+    coco_eval.summarize()
+    derived = dataset._derive_coco_results(
+        coco_eval, "bbox", class_names=dataset.class_name)
+    # _derive_coco_results reports percentages; store fractions to match
+    # the ct_tpu evaluator's scale
+    result = {k: (v / 100.0 if v == v else v) for k, v in derived.items()}
+    with open(os.path.join(out, "ref_eval_coco.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print("reference COCO AP50:", result["AP50"])
 
 
 def main():
@@ -108,12 +208,21 @@ def main():
     ap.add_argument("--split", type=int, default=1)
     ap.add_argument("--size", type=int, default=300,
                     help="input resolution (300 or 512; ref test.py:16-43)")
+    ap.add_argument("--dataset", default="VOC", choices=["VOC", "COCO"],
+                    help="COCO: evaluate through the reference COCO "
+                         "evaluator chain (eval-only)")
+    ap.add_argument("--load-name", default="ref_model.pth",
+                    help="checkpoint file (under --out) to evaluate")
     args_cli = ap.parse_args()
     if args_cli.phase == 2 and not args_cli.eval_only:
         ap.error("--phase 2 supports --eval-only (training is the TPU "
                  "stack's job; scripts/real_parity.py train2)")
+    if args_cli.dataset == "COCO" and not args_cli.eval_only:
+        ap.error("--dataset COCO supports --eval-only")
 
     install_stubs()
+    if args_cli.dataset == "COCO":
+        return eval_coco(args_cli)
     import torch
 
     torch.manual_seed(0)
@@ -149,7 +258,7 @@ def main():
 
     model = build_net(args, args_cli.size, src_cls_dim)
     model.device = "cpu"
-    ckpt_path = os.path.join(out, "ref_model.pth")
+    ckpt_path = os.path.join(out, args_cli.load_name)
 
     if not args_cli.eval_only:
         dataset = VOCDetection(

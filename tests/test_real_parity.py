@@ -85,11 +85,16 @@ def test_serving_config_fidelity_at_decisive_map():
 # classifier, fc_base concat, OBJ_Target init, mixup + ignore-label
 # semantics (reference models/RFB_Net_vgg.py:253-271, train.py:252-286).
 #
-# Recorded run (2026-08-19, v5e + 1-core CPU host):
+# Recorded run (2026-08-19, v5e + 1-core CPU host, 128-image test set):
 #   reference mAP 0.76575, ours 0.76580 → |Δ| = 5e-5
 #   base  mAP: ref 0.82343, ours 0.82312 → |Δ| = 3.1e-4
 #   novel mAP: ref 0.59279, ours 0.59395 → |Δ| = 1.16e-3  (target 0.003)
 #   detections: 951/954 matched, mean IoU 0.9972, p99 box err 1.5 px
+# Re-measured 2026-08-20 on the 500-image test set (VERDICT r4 #5 —
+# fixture resolution ~0.001 mAP), same committed ref_model.pth:
+#   reference mAP 0.74418, ours 0.74351 → |Δ| = 6.7e-4
+#   novel mAP: ref 0.61773, ours 0.61613 → |Δ| = 1.60e-3
+#   detections: 3775/3782 matched (0.9984), p99 box err 1.41 px
 # ---------------------------------------------------------------------------
 
 PARITY_P2 = os.path.join(REPO, ".parity_p2")
