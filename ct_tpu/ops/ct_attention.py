@@ -22,6 +22,7 @@ needs; the backward stays numerically identical to the reference math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -199,6 +200,80 @@ def ct_attention_cm(q_cm, k, v, base_cm, wz, block_q: int = 1024,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * p * kk * c,
             bytes_accessed=4 * b * (3 * p * c + 2 * kk * c),
+            transcendentals=b * p * kk,
+        ),
+        interpret=interpret,
+    )(q_cm, k_cmi, v_cmi, base_cm, wz[:, None])
+
+
+def _kernel_cm_stats(q_ref, k_ref, v_ref, base_ref, wz_ref,
+                     out_ref, delta_ref, m_ref, z_ref):
+    """Class-major forward emitting flash-style residuals: the attention
+    delta (pre-``wz``), the per-anchor softmax row max ``m`` and
+    denominator ``z``. Math (and therefore ``out``) is bit-identical to
+    `_kernel_cm`; the extra outputs let the backward skip the delta
+    recompute matmul and the max/denominator passes entirely
+    (`_bwd_kernel_cm_flash`)."""
+    q = q_ref[0]                                            # [C, bq]
+    k = k_ref[0]                                            # [C, K]
+    v = v_ref[0]                                            # [C+1, K]
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [K, bq]
+    s_max = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - s_max)
+    dd = jax.lax.dot_general(
+        v, e.astype(v.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [C+1, bq]
+    delta = dd[:-1, :] / dd[-1:, :]
+    out_ref[0] = (
+        base_ref[0].astype(jnp.float32) + delta * wz_ref[...]
+    ).astype(out_ref.dtype)
+    delta_ref[0] = delta.astype(delta_ref.dtype)
+    m_ref[0] = s_max
+    z_ref[0] = dd[-1:, :]
+
+
+def ct_attention_cm_stats(q_cm, k, v, base_cm, wz, block_q: int = 1024,
+                          interpret: bool = False):
+    """Class-major fused attention returning ``(out, delta, m, z)`` —
+    the training-forward used by the flash backward's custom_vjp rule."""
+    b, c, p = q_cm.shape
+    kk = k.shape[1]
+    block_q = _fit_block_q(block_q, kk)
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((b, kk, 1), v.dtype)], axis=-1)
+    k_cmi = jnp.moveaxis(k, -1, 1)          # [B, C, K]   (tiny)
+    v_cmi = jnp.moveaxis(v_aug, -1, 1)      # [B, C+1, K]
+    qspec = pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel_cm_stats,
+        grid=(b, pl.cdiv(p, block_q)),
+        in_specs=[
+            qspec,
+            pl.BlockSpec((1, c, kk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c + 1, kk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec,
+            pl.BlockSpec((c, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[qspec, qspec, sspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, p), base_cm.dtype),
+            jax.ShapeDtypeStruct((b, c, p), base_cm.dtype),
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * p * kk * c,
+            bytes_accessed=4 * b * (4 * p * c + 2 * kk * c),
             transcendentals=b * p * kk,
         ),
         interpret=interpret,
@@ -442,6 +517,172 @@ def _bwd_call_cm(q_cm, k_cm, v_cm, wz, g_cm, block_q: int = 512,
     return dq, dk, dv, jnp.sum(dwz[:, :, 0], axis=0)
 
 
+def _bwd_kernel_cm_flash(q_ref, k_ref, v_ref, wz_ref, g_ref, m_ref, z_ref,
+                         cs_ref, dq_ref, dk_ref, dv_ref,
+                         dk_acc, dv_acc, *, p_total: int, kk_total: int,
+                         block_k: int):
+    """Flash-style class-major backward (VERDICT r4 #2, CT-bwd item).
+
+    Differences vs `_bwd_kernel_cm` that buy block_q 1024 inside the
+    VMEM budget and drop one of the six matmuls:
+
+      * the forward saved the softmax row max ``m`` and denominator
+        ``z`` (`ct_attention_cm_stats`) — no max/denominator pass here;
+      * ``colsum`` (= Σ_k attn·dattn, the softmax-Jacobian row term) is
+        precomputed OUTSIDE the kernel from the saved delta via the
+        flash-attention identity Σ_k attn_pk·(gv_p·v_k) = gv_p·delta_p —
+        an elementwise reduction instead of needing dattn first;
+      * dwz (= Σ g·delta) also comes from the saved delta, so the
+        ``delta = attn·v`` recompute matmul disappears;
+      * K is processed in ``block_k`` chunks (single pass — no exp is
+        computed twice), so the live [block_k, bq] f32 intermediates fit
+        VMEM at bq=1024 where the unchunked kernel capped at 512.
+
+    Blocks: q/g/dq [1, C, bq]; k/v [1, C, Kpad] (zero-padded to a
+    block_k multiple by the wrapper); m/z/colsum [1, 1, bq];
+    dk/dv [1, C, Kpad] flushed from VMEM scratch at the last q block.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    mm_t = q_ref.dtype
+    q = q_ref[0]                             # [C, bq]
+    g = g_ref[0].astype(jnp.float32)         # [C, bq]
+    wz = wz_ref[...].astype(jnp.float32)     # [C, 1]
+    bq = q.shape[1]
+
+    # columns past the true P must not contribute; additionally the m/z/
+    # colsum reads on the padded final block are undefined (possibly NaN)
+    # and NaN·0 = NaN, so attn/ds are masked AFTER the exp
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, bq), 1)
+    live = (j * bq + col_ids) < p_total      # [1, bq]
+    q = jnp.where(live, q, jnp.zeros((), q.dtype))
+    g = jnp.where(live, g, 0.0)
+    m = m_ref[0]                             # [1, bq] f32
+    inv = jnp.where(live, 1.0 / z_ref[0], 0.0)
+    colsum = jnp.where(live, cs_ref[0], 0.0)
+    gv_m = jnp.where(live, g * wz, 0.0).astype(mm_t)   # [C, bq]
+
+    @pl.when(j == 0)
+    def _zero():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def chunk(c, dq_part):
+        k_c = jax.lax.dynamic_slice_in_dim(
+            k_ref[0], c * block_k, block_k, axis=1)        # [C, Kc]
+        v_c = jax.lax.dynamic_slice_in_dim(
+            v_ref[0], c * block_k, block_k, axis=1)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        klive = (c * block_k + krow) < kk_total            # [Kc, 1]
+        s_c = jax.lax.dot_general(                         # [Kc, bq]
+            k_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        attn = jnp.where(klive, jnp.exp(s_c - m) * inv, 0.0)
+        attn = jnp.where(live, attn, 0.0)
+        attn_m = attn.astype(mm_t)
+        dattn = jax.lax.dot_general(                       # [Kc, bq]
+            v_c, gv_m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = attn * (dattn - colsum)
+        ds_m = jnp.where(live, ds, 0.0).astype(mm_t)
+        dq_part = dq_part + jax.lax.dot_general(           # [C, bq]
+            k_c, ds_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_c = jax.lax.dot_general(                        # [C, Kc]
+            gv_m, attn_m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_c = jax.lax.dot_general(                        # [C, Kc]
+            q, ds_m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c0 = c * block_k
+        dv_acc[:, pl.ds(c0, block_k)] = (
+            dv_acc[:, pl.ds(c0, block_k)] + dv_c)
+        dk_acc[:, pl.ds(c0, block_k)] = (
+            dk_acc[:, pl.ds(c0, block_k)] + dk_c)
+        return dq_part
+
+    c_dim = q.shape[0]
+    nc = (k_ref.shape[2] + block_k - 1) // block_k
+    dq = jax.lax.fori_loop(
+        0, nc, chunk, jnp.zeros((c_dim, bq), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _fit_block_q_flash(block_q: int, kk: int) -> int:
+    """K-chunked backward: live [block_k, bq] intermediates only —
+    bq 1024 holds for K ≤ 2048; halve once beyond (the Mosaic large-K
+    temporary surcharge measured on the other kernels)."""
+    return block_q if kk <= 2048 else max(256, block_q // 2)
+
+
+def _bwd_call_cm_flash(q_cm, k_cm, v_cm, wz, g_cm, delta_cm, m, z,
+                       block_q: int = 1024, interpret: bool = False):
+    """Flash class-major backward core → (dq_cm, dk_cm, dv_cm, dwz).
+
+    dwz and the softmax-Jacobian colsum come from the saved delta in one
+    fused XLA elementwise-reduction pass (reads g+delta once); the Pallas
+    kernel then computes dq/dk/dv in a single K-chunked sweep."""
+    b, c, p = q_cm.shape
+    kk = k_cm.shape[2]
+    block_q = _fit_block_q_flash(block_q, kk)
+    block_k = min(640, ((kk + 127) // 128) * 128)
+    kpad = ((kk + block_k - 1) // block_k) * block_k
+    if kpad != kk:
+        pad = [(0, 0), (0, 0), (0, kpad - kk)]
+        k_cm = jnp.pad(k_cm, pad)
+        v_cm = jnp.pad(v_cm, pad)
+
+    gd = g_cm.astype(jnp.float32) * delta_cm.astype(jnp.float32)
+    dwz = jnp.sum(gd, axis=(0, 2))                       # [C]
+    colsum = jnp.sum(gd * wz.astype(jnp.float32)[None, :, None],
+                     axis=1, keepdims=True)              # [B, 1, P]
+
+    qspec = pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, c, kpad), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_cm_flash, p_total=p,
+                          kk_total=kk, block_k=block_k),
+        grid=(b, pl.cdiv(p, block_q)),
+        in_specs=[
+            qspec, kvspec, kvspec,
+            pl.BlockSpec((c, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec, sspec, sspec, sspec,
+        ],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, p), q_cm.dtype),
+            jax.ShapeDtypeStruct((b, c, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, kpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, kpad), jnp.float32),
+            pltpu.VMEM((c, kpad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * p * kpad * c,
+            bytes_accessed=4 * b * (4 * p * c + 4 * kpad * c),
+            transcendentals=b * p * kpad,
+        ),
+        interpret=interpret,
+    )(q_cm, k_cm, v_cm, wz[:, None], g_cm, m, z, colsum)
+    return dq, dk[:, :, :kk], dv[:, :, :kk], dwz
+
+
 def ct_attention_bwd_pallas(q, k, v, wz, g, block_q: int = 512,
                             interpret: bool = False):
     """→ (dq, dk, dv, dwz) via the class-major blockwise Pallas backward.
@@ -565,17 +806,34 @@ def ct_attention_serving(
       obj_target)
 
 
+# Flash-path rollout gate: the flash forward/backward (saved m/z/delta,
+# K-chunked single-pass bwd at block_q 1024) replaces the r4 kernels once
+# its gradient-parity tests pass; flip via env for A/B on hardware.
+_USE_FLASH = os.environ.get("CT_ATTENTION_FLASH", "0") != "0"
+
+
 def _fwd_cm(q_cm, k, v, base_cm, wz, block_q, interpret):
+    if _USE_FLASH:
+        out, delta, m, z = ct_attention_cm_stats(
+            q_cm, k, v, base_cm, wz, block_q, interpret)
+        return out, (q_cm, k, v, wz, (delta, m, z))
     return (ct_attention_cm(q_cm, k, v, base_cm, wz, block_q, interpret),
-            (q_cm, k, v, wz))
+            (q_cm, k, v, wz, None))
 
 
 def _bwd_cm(block_q, interpret, residuals, g_cm):
-    q_cm, k, v, wz = residuals
-    dq_cm, dk_cm, dv_cm, dwz = _bwd_call_cm(
-        q_cm, jnp.moveaxis(k, -1, 1), jnp.moveaxis(v, -1, 1), wz, g_cm,
-        min(block_q, 512), interpret,
-    )
+    q_cm, k, v, wz, stats = residuals
+    if stats is not None:
+        delta, m, z = stats
+        dq_cm, dk_cm, dv_cm, dwz = _bwd_call_cm_flash(
+            q_cm, jnp.moveaxis(k, -1, 1), jnp.moveaxis(v, -1, 1), wz,
+            g_cm, delta, m, z, block_q, interpret,
+        )
+    else:
+        dq_cm, dk_cm, dv_cm, dwz = _bwd_call_cm(
+            q_cm, jnp.moveaxis(k, -1, 1), jnp.moveaxis(v, -1, 1), wz,
+            g_cm, min(block_q, 512), interpret,
+        )
     # d/d(base) of (base + delta·wz) is the upstream cotangent itself
     return (dq_cm.astype(q_cm.dtype),
             jnp.moveaxis(dk_cm, 1, -1).astype(k.dtype),

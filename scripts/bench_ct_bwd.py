@@ -98,6 +98,38 @@ def main():
         ref = float(jnp.max(jnp.abs(x.astype(jnp.float32)))) or 1.0
         print(f"  max|d{name}| = {err:.3e}  (rel {err/ref:.2e})", flush=True)
 
+    # ---- flash path (r5): saved m/z/delta + K-chunked bq-1024 backward ----
+    q_cm, g_cm = jnp.moveaxis(q, -1, 1), jnp.moveaxis(g, -1, 1)
+    base_cm = jnp.zeros_like(q_cm)
+    k_cm, v_cm = jnp.moveaxis(k, -1, 1), jnp.moveaxis(v, -1, 1)
+
+    f_old_fwd = jax.jit(cta.ct_attention_cm)
+    t = bench(f_old_fwd, (q_cm, k, v, base_cm, wz))
+    print(f"cm fwd (plain):  {t*1e3:.2f} ms", flush=True)
+    f_new_fwd = jax.jit(cta.ct_attention_cm_stats)
+    t = bench(f_new_fwd, (q_cm, k, v, base_cm, wz))
+    print(f"cm fwd (stats):  {t*1e3:.2f} ms", flush=True)
+
+    _, delta, m, z = f_new_fwd(q_cm, k, v, base_cm, wz)
+    f_old_bwd = jax.jit(functools.partial(cta._bwd_call_cm, block_q=512))
+    t = bench(f_old_bwd, (q_cm, k_cm, v_cm, wz, g_cm))
+    print(f"cm bwd (r4, bq512):   {t*1e3:.2f} ms ({flops/t/1e12:.1f} TF/s)",
+          flush=True)
+    f_flash = jax.jit(functools.partial(cta._bwd_call_cm_flash,
+                                        block_q=1024))
+    t = bench(f_flash, (q_cm, k_cm, v_cm, wz, g_cm, delta, m, z))
+    print(f"cm bwd (flash, bq1024): {t*1e3:.2f} ms "
+          f"({flops/t/1e12:.1f} TF/s)", flush=True)
+
+    a = f_old_bwd(q_cm, k_cm, v_cm, wz, g_cm)
+    b3 = f_flash(q_cm, k_cm, v_cm, wz, g_cm, delta, m, z)
+    for name, x, y in zip(("dq", "dk", "dv", "dwz"), a, b3):
+        err = float(jnp.max(jnp.abs(
+            x.astype(jnp.float32) - y.astype(jnp.float32))))
+        ref = float(jnp.max(jnp.abs(x.astype(jnp.float32)))) or 1.0
+        print(f"  flash max|d{name}| = {err:.3e}  (rel {err/ref:.2e})",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

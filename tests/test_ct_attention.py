@@ -142,3 +142,78 @@ def test_reference_cm_matches_reference():
         jnp.moveaxis(q, -1, 1), k, v, jnp.moveaxis(base, -1, 1), wz)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(cm, 1, -1)),
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_cm_vjp_matches_reference():
+    """Flash-path (saved m/z/delta, K-chunked single-pass backward,
+    VERDICT r4 #2): forward and grads vs the XLA reference, with a
+    partial final q block AND a K that is not a block_k multiple (the
+    wrapper zero-pads K and the kernel masks the padded columns)."""
+    from ct_tpu.ops import ct_attention as cta
+
+    rng = np.random.RandomState(7)
+    q, k, v, base, wz = make_inputs(rng, b=2, p=300, k=70)
+    q_cm = jnp.moveaxis(q, -1, 1)
+    base_cm = jnp.moveaxis(base, -1, 1)
+
+    old = cta._USE_FLASH
+    cta._USE_FLASH = True
+    try:
+        out_cm, delta, m, z = cta.ct_attention_cm_stats(
+            q_cm, k, v, base_cm, wz, 128, True)
+        ref = cta.ct_attention_reference(q, k, v, base, wz)
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(out_cm, 1, -1)), np.asarray(ref),
+            rtol=1e-5, atol=1e-5)
+        # the saved stats really are the softmax row stats
+        s = jnp.einsum("bpc,bkc->bpk", q, k)
+        np.testing.assert_allclose(
+            np.asarray(m[:, 0, :]), np.asarray(jnp.max(s, axis=-1)),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(z[:, 0, :]),
+            np.asarray(jnp.sum(jnp.exp(s - jnp.max(s, -1, keepdims=True)),
+                               axis=-1)),
+            rtol=1e-4, atol=1e-4)
+
+        def loss_cm(q, k, v, base, wz):
+            return jnp.sum(cta.ct_attention_cm(
+                jnp.moveaxis(q, -1, 1), k, v, jnp.moveaxis(base, -1, 1),
+                wz, 128, True) ** 2)
+
+        def loss_ref(q, k, v, base, wz):
+            return jnp.sum(cta.ct_attention_reference(q, k, v, base, wz) ** 2)
+
+        g1 = jax.grad(loss_cm, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, base, wz)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        cta._USE_FLASH = old
+
+
+def test_flash_bwd_call_multi_chunk():
+    """K spanning several chunks: force a small block_k through the raw
+    flash backward call and compare against the unchunked CM backward."""
+    from ct_tpu.ops import ct_attention as cta
+
+    rng = np.random.RandomState(8)
+    # k=1500 → block_k=640, kpad=1920: three chunks with a padded tail
+    q, k, v, base, wz = make_inputs(rng, b=2, p=130, k=1500)
+    q_cm = jnp.moveaxis(q, -1, 1)
+    base_cm = jnp.moveaxis(base, -1, 1)
+    g = jnp.asarray(rng.randn(*base.shape).astype(np.float32))
+    g_cm = jnp.moveaxis(g, -1, 1)
+
+    _, delta, m, z = cta.ct_attention_cm_stats(
+        q_cm, k, v, base_cm, wz, 128, True)
+    k_cm = jnp.moveaxis(k, -1, 1)
+    v_cm = jnp.moveaxis(v, -1, 1)
+    dq1, dk1, dv1, dwz1 = cta._bwd_call_cm_flash(
+        q_cm, k_cm, v_cm, wz, g_cm, delta, m, z, 128, True)
+    dq2, dk2, dv2, dwz2 = cta._bwd_call_cm(
+        q_cm, k_cm, v_cm, wz, g_cm, 128, True)
+    for a, b in ((dq1, dq2), (dk1, dk2), (dv1, dv2), (dwz1, dwz2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

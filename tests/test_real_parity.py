@@ -175,6 +175,27 @@ def test_512_map_parity():
     assert stats["mean_matched_iou"] > 0.99
 
 
+PARITY_P2_512 = os.path.join(REPO, ".parity_p2_512")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CT_TPU_SLOW_TESTS")
+    or not os.path.exists(os.path.join(PARITY_P2_512,
+                                       "ours_eval_512.json")),
+    reason="needs CT_TPU_SLOW_TESTS=1 and .parity_p2_512 artifacts",
+)
+def test_512_phase2_trained_decisive():
+    """512 CT-head training on hardware (K=4964 backward kernel) reaches
+    decisive mAP. No both-stacks diff exists for this config — the
+    reference crashes on phase-2 @512 (its CT pooling schedule is
+    hard-coded for 6 source maps, RFB_Net_vgg.py:235-244; see
+    .parity_p2_512/ref_crash_512.log and docs/PARITY.md)."""
+    with open(os.path.join(PARITY_P2_512, "ours_eval_512.json")) as f:
+        ours = json.load(f)
+    assert ours["mAP"] >= 0.3, ours["mAP"]
+    assert ours["novel_mAP"] >= 0.3, ours["novel_mAP"]
+
+
 @needs_p2
 def test_phase2_serving_configs_and_calib_sweep():
     """Serving-config deltas + the int8 calibration-size sweep (8/32/128
