@@ -568,10 +568,10 @@ def _bwd_kernel_cm_flash(q_ref, k_ref, v_ref, wz_ref, g_ref, m_ref, z_ref,
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     def chunk(c, dq_part):
-        k_c = jax.lax.dynamic_slice_in_dim(
-            k_ref[0], c * block_k, block_k, axis=1)        # [C, Kc]
-        v_c = jax.lax.dynamic_slice_in_dim(
-            v_ref[0], c * block_k, block_k, axis=1)
+        # slice through the REF (Mosaic lowers pl.ds ref-indexing; a
+        # value-level dynamic_slice is unimplemented for TC kernels)
+        k_c = k_ref[0, :, pl.ds(c * block_k, block_k)]     # [C, Kc]
+        v_c = v_ref[0, :, pl.ds(c * block_k, block_k)]
         krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
         klive = (c * block_k + krow) < kk_total            # [Kc, 1]
         s_c = jax.lax.dot_general(                         # [Kc, bq]
@@ -809,7 +809,7 @@ def ct_attention_serving(
 # Flash-path rollout gate: the flash forward/backward (saved m/z/delta,
 # K-chunked single-pass bwd at block_q 1024) replaces the r4 kernels once
 # its gradient-parity tests pass; flip via env for A/B on hardware.
-_USE_FLASH = os.environ.get("CT_ATTENTION_FLASH", "0") != "0"
+_USE_FLASH = os.environ.get("CT_ATTENTION_FLASH", "1") != "0"
 
 
 def _fwd_cm(q_cm, k, v, base_cm, wz, block_q, interpret):

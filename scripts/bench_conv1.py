@@ -37,17 +37,18 @@ B, S, CO = 64, 300, 64
 
 
 def conv11(x_nhwc, w):
+    # bf16 in/out like the production trunk (the cotangent then stays
+    # bf16 too — a f32 preferred output makes the wgrad mix dtypes)
     dn = jax.lax.conv_dimension_numbers(
         x_nhwc.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
-        x_nhwc, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        x_nhwc, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
 
 
 def make_loss(feed_to_nhwc):
     def loss(x, w):
         y = conv11(feed_to_nhwc(x), w)
-        return jnp.sum(y * y)
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
 
     # grad wrt w ONLY — conv1_1 needs no input gradient
     return jax.jit(jax.value_and_grad(loss, argnums=1))
@@ -89,9 +90,8 @@ def main():
         dn = jax.lax.conv_dimension_numbers(
             xc.shape, w.shape, ("NCHW", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
-            xc, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-        return jnp.sum(y * y)
+            xc, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
 
     ref_val = None
     for name, (xd, fn) in variants.items():
