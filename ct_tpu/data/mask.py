@@ -68,6 +68,23 @@ def iou(dt, gt, iscrowd):
     per-gt flag sequence (crowd → intersection / det-area).
     """
     iscrowd = np.asarray(iscrowd, bool)
+
+    def _as_boxes(x):
+        # pycocotools semantics: ndarray [N,4] OR a list of 4-number
+        # sequences means xywh boxes (the vendored COCOeval passes plain
+        # lists for iouType='bbox', cocoeval.py:182-183)
+        if isinstance(x, np.ndarray):
+            return x
+        if isinstance(x, (list, tuple)) and (
+            not x or (isinstance(x[0], (list, tuple, np.ndarray))
+                      and len(x[0]) == 4)
+        ):
+            return np.asarray(x, np.float64).reshape(-1, 4)
+        return None
+
+    d_arr, g_arr = _as_boxes(dt), _as_boxes(gt)
+    if d_arr is not None and g_arr is not None:
+        dt, gt = d_arr, g_arr
     if isinstance(dt, np.ndarray) and isinstance(gt, np.ndarray):
         d = dt.astype(np.float32).reshape(-1, 4)
         g = gt.astype(np.float32).reshape(-1, 4)

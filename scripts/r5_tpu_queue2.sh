@@ -20,11 +20,11 @@ T=.parity_tr
 if [ ! -f $T/diff2_ok ]; then
   { [ -d $T/coco/annotations ] \
     || timeout 1800 python scripts/real_parity.py build3 --out $T \
-        --images 600 --test-images 128 > /tmp/r5T_build.log 2>&1; } \
+        --images 1800 --test-images 128 > /tmp/r5T_build.log 2>&1; } \
   && { [ -f $T/phase1.pth ] \
-    || $RUN /tmp/r5T_train1.log 900 timeout 3000 \
+    || $RUN /tmp/r5T_train1.log 900 timeout 4800 \
         python scripts/real_parity.py train --out $T \
-        --dataset COCO --iters 3000 --batch 64 \
+        --dataset COCO --iters 9000 --batch 64 \
         --export-name phase1.pth; } \
   && $RUN /tmp/r5T_evalc.log 600 timeout 3000 \
       python scripts/real_parity.py eval-ours --out $T \

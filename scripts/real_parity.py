@@ -115,11 +115,17 @@ def cmd_build3(args):
       shot lists (same generator as build2) for the phase-2 transfer
       5-shot fine-tune and VOC eval.
     """
+    import copy
+
     from fixtures import make_coco60
 
     make_coco60(os.path.join(args.out, "coco"),
                 n_train=args.images, n_val=args.test_images)
-    cmd_build2(args)
+    # the VOC (phase-2) side needs only the standard fixture size — the
+    # 60-way source task is what needs the larger corpus
+    voc_args = copy.copy(args)
+    voc_args.images = min(args.images, 600)
+    cmd_build2(voc_args)
     log(f"coco60 fixture: {args.images} train / {args.test_images} minival")
 
 

@@ -161,7 +161,11 @@ def eval_coco(args_cli):
     with open(os.path.join(out, "detections_ref_coco.pkl"), "wb") as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
 
-    # numpy-2 `dets == []` shim (see the VOC path note below)
+    # numpy-2 `dets == []` shim. Unlike the VOC writer, the COCO writer
+    # calls `.astype` BEFORE its `dets == []` check
+    # (/root/reference/data/coco.py:245-246), so every entry must stay an
+    # ndarray — the subclass survives astype and answers `== []` with the
+    # legacy False scalar.
     class _DetArray(np.ndarray):
         def __eq__(self, other):
             if isinstance(other, list) and not other:
@@ -169,7 +173,7 @@ def eval_coco(args_cli):
             return np.ndarray.__eq__(self, other)
 
     shim_boxes = [
-        [(d.view(_DetArray) if getattr(d, "size", 0) else [])
+        [np.asarray(d, dtype=np.float32).reshape(-1, 5).view(_DetArray)
          for d in per_cls]
         for per_cls in all_boxes
     ]

@@ -36,7 +36,7 @@ def main():
         TrainState, init_train_state, make_train_step,
     )
 
-    batch = 64
+    batch = int(os.environ.get("CT_TT_BATCH", "64"))
     task = resolve_task(2, "transfer", "ours", "VOC")
     net = build_net(task, 300, dtype=jnp.bfloat16)
     net = dataclasses.replace(net, use_pallas_ct=True)
