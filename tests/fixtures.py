@@ -218,8 +218,11 @@ def make_coco60(root: str, n_train: int = 480, n_val: int = 128,
                 x = int(rng.randint(0, w - bw))
                 y = int(rng.randint(0, h - bh))
                 base_c = sep_color(ci)
+                # ±10 jitter: the 5-level grid guarantees only a
+                # 40-level max-channel gap across 60 classes, so the
+                # VOC fixtures' ±18 would let neighbors overlap
                 color = tuple(
-                    int(np.clip(c + rng.randint(-18, 19), 0, 255))
+                    int(np.clip(c + rng.randint(-10, 11), 0, 255))
                     for c in base_c
                 )
                 cv2.rectangle(img, (x, y), (x + bw, y + bh), color, -1)

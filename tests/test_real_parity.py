@@ -215,3 +215,74 @@ def test_phase2_serving_configs_and_calib_sweep():
         assert abs(got["mAP"] - exact["mAP"]) < 0.02, (name, got, exact)
         assert abs(got["novel_mAP"] - exact["novel_mAP"]) < 0.02, (
             name, got, exact)
+
+
+# ---------------------------------------------------------------------------
+# Transfer-setting trained parity + COCO-evaluator parity — VERDICT r4 #3/#4.
+#
+# Chain (scripts/r5_tpu_queue2.sh): build3 (COCO-60 fixture, 80-category
+# registry, 1800 images) → phase-1 COCO-60 transfer pretrain on TPU
+# (9000 iters) → identical weights through BOTH COCO evaluator chains
+# (results-json → COCOeval → per-category AP) → phase-2 'ours' transfer
+# 5-shot fine-tune (conf := conf_novel(20), no fc_base — reference
+# RFB_Net_vgg.py:268-269) → both-stacks VOC eval → diff.
+#
+# Recorded run (2026-08-20, v5e + 1-core CPU host):
+#   COCO:  reference AP50 0.55128, ours 0.54854 → |Δ| = 0.00274
+#          AP |Δ| 0.00286; 1657/1662 matched, mean IoU 0.998
+#   VOC:   reference mAP 0.78644, ours 0.78698 → |Δ| = 0.00054
+#          1269/1273 matched, mean IoU 0.998, p99 box err 0.37 px
+# ---------------------------------------------------------------------------
+
+PARITY_TR = os.path.join(REPO, ".parity_tr")
+
+needs_tr = pytest.mark.skipif(
+    not os.environ.get("CT_TPU_SLOW_TESTS")
+    or not os.path.exists(os.path.join(PARITY_TR, "ref_eval.json")),
+    reason="needs CT_TPU_SLOW_TESTS=1 and .parity_tr artifacts "
+           "(see scripts/r5_tpu_queue2.sh)",
+)
+
+
+@needs_tr
+def test_transfer_phase2_map_parity():
+    """The paper's headline protocol: COCO60→VOC20 5-shot 'ours'."""
+    with open(os.path.join(PARITY_TR, "ref_eval.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(PARITY_TR, "ours_eval.json")) as f:
+        ours = json.load(f)
+    assert ref["mAP"] >= 0.3, "model not at decisive mAP"
+    assert abs(ref["mAP"] - ours["mAP"]) < 0.003
+
+    from ct_tpu.tools.diff_detections import diff
+
+    stats = diff(os.path.join(PARITY_TR, "ours_eval", "inference",
+                              "detections.pkl"),
+                 os.path.join(PARITY_TR, "detections_ref.pkl"))
+    assert stats["match_rate"] > 0.95
+    assert stats["mean_matched_iou"] > 0.99
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CT_TPU_SLOW_TESTS")
+    or not os.path.exists(os.path.join(PARITY_TR, "ref_eval_coco.json")),
+    reason="needs CT_TPU_SLOW_TESTS=1 and .parity_tr COCO artifacts",
+)
+def test_coco_evaluator_decisive_parity():
+    """Decisive-AP parity through the full COCO evaluator chain
+    (VERDICT r4 #4): results-json → COCOeval → per-category AP."""
+    with open(os.path.join(PARITY_TR, "ref_eval_coco.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(PARITY_TR, "ours_eval_coco.json")) as f:
+        ours = json.load(f)
+    assert ref["AP50"] >= 0.3, "model not at decisive AP50"
+    assert abs(ref["AP50"] - ours["AP50"]) < 0.003
+    assert abs(ref["AP"] - ours["AP"]) < 0.005
+
+    from ct_tpu.tools.diff_detections import diff
+
+    stats = diff(os.path.join(PARITY_TR, "ours_eval_coco", "inference",
+                              "detections.pkl"),
+                 os.path.join(PARITY_TR, "detections_ref_coco.pkl"))
+    assert stats["match_rate"] > 0.95
+    assert stats["mean_matched_iou"] > 0.99
