@@ -619,10 +619,12 @@ def _bwd_kernel_cm_flash(q_ref, k_ref, v_ref, wz_ref, g_ref, m_ref, z_ref,
 
 
 def _fit_block_q_flash(block_q: int, kk: int) -> int:
-    """K-chunked backward: live [block_k, bq] intermediates only —
-    bq 1024 holds for K ≤ 2048; halve once beyond (the Mosaic large-K
-    temporary surcharge measured on the other kernels)."""
-    return block_q if kk <= 2048 else max(256, block_q // 2)
+    """K-chunked backward: only [block_k, bq] intermediates are live, so
+    bq 1024 holds through the 512-res K=4964 (measured on-chip: compiles
+    and runs 7.4% faster than bq 512 at that K — scripts/
+    bench_ct_bwd_512.py); halve beyond 5120 as VMEM headroom insurance
+    (the dk/dv scratch accumulators grow with Kpad)."""
+    return block_q if kk <= 5120 else max(256, block_q // 2)
 
 
 def _bwd_call_cm_flash(q_cm, k_cm, v_cm, wz, g_cm, delta_cm, m, z,
