@@ -381,8 +381,11 @@ def main():
                                 ovthresh=0.5, use_07_metric=True)
         aps[cls] = float(ap_val)
     m_ap = float(np.mean(list(aps.values())))
-    result = {"mAP": m_ap, "APs": aps, "iters": args_cli.iters,
-              "images": args_cli.images}
+    result = {"mAP": m_ap, "APs": aps}
+    if not args_cli.eval_only:
+        # training metadata is meaningless on --eval-only runs (the
+        # defaults would be recorded for a checkpoint trained elsewhere)
+        result.update(iters=args_cli.iters, images=args_cli.images)
     if args_cli.phase == 2 and args.setting == "incre":
         vals = [aps[c] for c in eval_classes]
         result["base_mAP"] = float(np.mean(vals[:15]))
