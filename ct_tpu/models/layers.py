@@ -212,6 +212,129 @@ def max_pool2d(
     return nn.max_pool(x, (kh, kw), strides=(sh, sw), padding=pads)
 
 
+# --------------------------------------------------------------------------
+# Lane-packed conv1 stage (training).
+#
+# The [B,S,S,64] stage-1 tensors pad 64 → 128 lanes on TPU (2× HBM on every
+# elementwise/pool pass, and the N=64 conv output tile underfills the MXU).
+# The packed layout folds x-parity into channels — [B,S,S,C] viewed
+# row-major as [B,S,S/2,2C] with c' = (x%2)*C + c — so stage-1 activations
+# occupy exactly 128 lanes. The convs stay XLA convs over *embedded*
+# kernels with structural zeros (2× FLOPs, but full-lane tiles; measured
+# net win on v5e, scripts/bench_packed_stage.py: whole-stage fwd+bwd
+# 35.4 ms packed vs 37.9 std at batch 64, with conv1_2 fwd 7.1 vs 17.4
+# standalone). The canonical [kh,kw,cin,cout] params are embedded
+# in-graph, so the param tree, checkpoints and the optimizer are
+# untouched. The closing 2×2/s2 pool runs as pure elementwise max in the
+# packed layout with a first-max (torch row-major) tie-routing VJP —
+# bit-identical gradients to XLA's select-and-scatter — and emits the
+# standard layout, so the unpack is free.
+# --------------------------------------------------------------------------
+
+def pack_x_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H,W/2,2C] (row-major view; c' = (x%2)*C + c)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def embed_packed_first(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,cin,F] image-conv kernel -> [3,4,cin,2F] packed-output kernel.
+
+    Applied with stride (1,2) and padding ((1,1),(1,1)) to the unpacked
+    input, it writes both x-phases of each output pair into the channel
+    halves: even-phase outputs use window taps 0..2, odd-phase 1..3.
+    """
+    kh, kw, cin, f = w.shape
+    assert (kh, kw) == (3, 3)
+    wp = jnp.zeros((3, 4, cin, 2 * f), w.dtype)
+    wp = wp.at[:, 0:3, :, :f].set(w)
+    wp = wp.at[:, 1:4, :, f:].set(w)
+    return wp
+
+
+def embed_packed_same(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,cin,cout] kernel -> [3,3,2cin,2cout] over the packed layout.
+
+    Even out x=2j taps {2j-1,2j,2j+1} = (col0,odd),(col1,even),(col1,odd);
+    odd out x=2j+1 taps {2j,2j+1,2j+2} = (col1,even),(col1,odd),(col2,even).
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    wp = jnp.zeros((3, 3, 2 * cin, 2 * cout), w.dtype)
+    wp = wp.at[:, 0, cin:, :cout].set(w[:, 0])
+    wp = wp.at[:, 1, :cin, :cout].set(w[:, 1])
+    wp = wp.at[:, 1, cin:, :cout].set(w[:, 2])
+    wp = wp.at[:, 1, :cin, cout:].set(w[:, 0])
+    wp = wp.at[:, 1, cin:, cout:].set(w[:, 1])
+    wp = wp.at[:, 2, :cin, cout:].set(w[:, 2])
+    return wp
+
+
+@jax.custom_vjp
+def max_pool2x2_packed(xp):
+    """2×2/s2 max pool: packed [B,H,W/2,2C] -> STANDARD [B,H/2,W/2,C].
+
+    Forward is pure elementwise (row pairs via a major-axis reshape, x
+    pairs via the channel halves — no reduce_window). The VJP routes the
+    cotangent to the first max in torch row-major window order via a
+    boolean priority chain: bit-identical to XLA's select-and-scatter
+    gradient (select = ge keeps the earlier element), including on exact
+    ties (bf16 makes those common; see `_max_pool_nonoverlap`).
+    """
+    b, h, w2, cc = xp.shape
+    c = cc // 2
+    ymax = jnp.max(xp.reshape(b, h // 2, 2, w2, cc), axis=2)
+    return jnp.maximum(ymax[..., :c], ymax[..., c:])
+
+
+def _max_pool2x2_packed_fwd(xp):
+    y = max_pool2x2_packed(xp)
+    return y, (xp, y)
+
+
+def _max_pool2x2_packed_bwd(res, g):
+    xp, y = res
+    b, h, w2, cc = xp.shape
+    c = cc // 2
+    xr = xp.reshape(b, h // 2, 2, w2, cc)
+    ydup = jnp.concatenate([y, y], axis=-1)
+    eq0 = xr[:, :, 0] == ydup            # slots (dy=0, x even|odd)
+    eq1 = xr[:, :, 1] == ydup            # slots (dy=1, x even|odd)
+    w00 = eq0[..., :c]
+    w01 = eq0[..., c:] & ~w00
+    p0 = w00 | eq0[..., c:]
+    w10 = eq1[..., :c] & ~p0
+    w11 = eq1[..., c:] & ~(p0 | w10)
+    gdup = jnp.concatenate([g, g], axis=-1)
+    zero = jnp.zeros((), g.dtype)
+    d0 = jnp.where(jnp.concatenate([w00, w01], axis=-1), gdup, zero)
+    d1 = jnp.where(jnp.concatenate([w10, w11], axis=-1), gdup, zero)
+    dxp = jnp.stack([d0, d1], axis=2).reshape(b, h, w2, cc)
+    return (dxp.astype(xp.dtype),)
+
+
+max_pool2x2_packed.defvjp(_max_pool2x2_packed_fwd, _max_pool2x2_packed_bwd)
+
+
+class ConvParams(nn.Module):
+    """Declares `kernel`/`bias` with `Conv2d`'s names, shapes and inits —
+    the packed conv1 stage consumes the raw params (it embeds them into
+    packed-layout kernels in-graph) while staying checkpoint-identical to
+    the `Conv2d` module it replaces."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Conv2d(nn.Module):
     """``nn.Conv`` drop-in (same param names/shapes/init) with an int8
     serving path and activation-range calibration hooks.

@@ -25,12 +25,14 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ct_tpu.config import TaskSpec
 from ct_tpu.models.layers import (
-    BasicConv, BasicRFB, BasicRFBa, Conv2d, max_pool2d, relu_save_out,
+    BasicConv, BasicRFB, BasicRFBa, Conv2d, ConvParams, embed_packed_first,
+    embed_packed_same, max_pool2d, max_pool2x2_packed, relu_save_out,
 )
 
 
@@ -180,6 +182,7 @@ class RFBNet(nn.Module):
     dtype: Optional[jnp.dtype] = None   # compute dtype (bf16 on TPU)
     use_pallas_ct: bool = False         # fused Pallas CT attention (TPU)
     fold_bn: bool = False               # serving: BN folded into convs
+    pack_conv1: bool = False            # training: lane-packed conv1 stage
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Predictions:
@@ -206,8 +209,57 @@ class RFBNet(nn.Module):
         # RFB_Net_vgg.py:219-222).
         defer_ok = lambda i: (i + 1 < len(plan) and plan[i + 1][0] == "pool"
                               and plan[i + 1][1] != norm_idx)
+        # Lane-packed conv1 stage (training, see layers.py): the leading
+        # [conv 3×3/p1]+ → pool 2×2/s2 prefix runs in the x-pair-packed
+        # layout — C=64 never pads to 128 lanes — with canonical params
+        # embedded in-graph (param tree/checkpoints identical) and a
+        # first-max packed pool that emits the standard layout. Gradient
+        # parity vs the standard stage: tests/test_packed_stage.py.
+        start_i = 0
+        if self.pack_conv1 and x.dtype != jnp.int8:
+            npref = 0
+            pool_ok = False
+            for kind, idx, spec in plan:
+                if (kind == "conv" and spec["kernel"] == 3
+                        and spec["pad"] == 1 and spec["dil"] == 1):
+                    npref += 1
+                    continue
+                pool_ok = (kind == "pool" and spec["kernel"] == 2
+                           and spec["stride"] == 2 and not spec["ceil"])
+                break
+            prefix_idxs = {plan[j][1] for j in range(npref + 1)}
+            if (npref and pool_ok and norm_idx not in prefix_idxs
+                    and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
+                in_ch = x.shape[-1]
+                for j in range(npref):
+                    _, idx, spec = plan[j]
+                    k, bias = ConvParams(
+                        spec["out"], (3, 3), name=f"vgg_{idx}")(in_ch)
+                    x, k, bias = nn.dtypes.promote_dtype(
+                        x, k, bias, dtype=self.dtype)
+                    if j == 0:
+                        kp = embed_packed_first(k)
+                        strides = (1, 2)
+                    else:
+                        kp = embed_packed_same(k)
+                        strides = (1, 1)
+                    dn = jax.lax.conv_dimension_numbers(
+                        x.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+                    x = jax.lax.conv_general_dilated(
+                        x, kp, strides, ((1, 1), (1, 1)),
+                        dimension_numbers=dn)
+                    x = x + jnp.concatenate([bias, bias]).reshape(
+                        (1, 1, 1, -1))
+                    if j < npref - 1:
+                        x = relu_save_out(x)
+                    in_ch = spec["out"]
+                x = max_pool2x2_packed(x)   # emits the standard layout
+                x = relu_save_out(x)        # deferred past the pool
+                start_i = npref + 1
         pending_relu = False
         for i, (kind, idx, spec) in enumerate(plan):
+            if i < start_i:
+                continue
             if idx == norm_idx:
                 sources.append(
                     BasicRFBa(norm_ch, norm_ch, stride=1, scale=1.0,
@@ -438,13 +490,14 @@ class RFBNet(nn.Module):
 
 
 def build_net(task: TaskSpec, size: int = 300,
-              dtype: Optional[jnp.dtype] = None) -> RFBNet:
+              dtype: Optional[jnp.dtype] = None,
+              pack_conv1: bool = False) -> RFBNet:
     # 64 is the reduced-depth dryrun/test variant (see VGG_CFG_TINY);
     # 300/512 are the production detectors matching the reference.
     if size not in (64, 300, 512):
         raise ValueError("Only RFBNet300 and RFBNet512 are supported "
                          "(plus the size-64 test variant).")
-    return RFBNet(task=task, size=size, dtype=dtype)
+    return RFBNet(task=task, size=size, dtype=dtype, pack_conv1=pack_conv1)
 
 
 def eval_scores(preds: Predictions) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -38,8 +38,11 @@ def main():
 
     batch = int(os.environ.get("CT_TT_BATCH", "64"))
     task = resolve_task(2, "transfer", "ours", "VOC")
-    net = build_net(task, 300, dtype=jnp.bfloat16)
+    # A/B: CT_PACK_CONV1=1 routes the lane-packed conv1 stage
+    pack = bool(os.environ.get("CT_PACK_CONV1"))
+    net = build_net(task, 300, dtype=jnp.bfloat16, pack_conv1=pack)
     net = dataclasses.replace(net, use_pallas_ct=True)
+    print(f"pack_conv1={pack}", flush=True)
     priors = prior_boxes(VOC_300)
 
     cfg = SolverConfig(lr=1e-3, steps=(10 ** 6,), warmup_iters=0)
