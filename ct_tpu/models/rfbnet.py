@@ -253,8 +253,16 @@ class RFBNet(nn.Module):
                     if j < npref - 1:
                         x = relu_save_out(x)
                     in_ch = spec["out"]
-                x = max_pool2x2_packed(x)   # emits the standard layout
-                x = relu_save_out(x)        # deferred past the pool
+                if self.use_pallas_ct:
+                    # fused single-pass pool+relu kernel (TPU); gradient
+                    # bit-identical to the XLA composition below
+                    from ct_tpu.ops.pool_packed_pallas import (
+                        pool2x2_packed_relu,
+                    )
+                    x = pool2x2_packed_relu(x)
+                else:
+                    x = max_pool2x2_packed(x)   # emits the standard layout
+                    x = relu_save_out(x)        # deferred past the pool
                 start_i = npref + 1
         pending_relu = False
         for i, (kind, idx, spec) in enumerate(plan):

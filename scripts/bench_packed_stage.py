@@ -203,6 +203,75 @@ def _pool_packed_bool_bwd(res, g):
 pool_packed_bool.defvjp(_pool_packed_bool_fwd, _pool_packed_bool_bwd)
 
 
+# ------------------- rank-4 first-max pool (strided rows, no rank-5 ops)
+def _make_pool_v2(assemble):
+    @jax.custom_vjp
+    def pool(xp):
+        r0 = xp[:, 0::2]
+        r1 = xp[:, 1::2]
+        a = jnp.maximum(r0, r1)
+        return jnp.maximum(a[..., :C], a[..., C:])
+
+    def fwd(xp):
+        y = pool(xp)
+        return y, (xp, y)
+
+    def bwd(res, g):
+        xp, y = res
+        b, h, w2, cc = xp.shape
+        ydup = jnp.concatenate([y, y], axis=-1)
+        eq0 = xp[:, 0::2] == ydup
+        eq1 = xp[:, 1::2] == ydup
+        w00 = eq0[..., :C]
+        w01 = eq0[..., C:] & ~w00
+        p0 = w00 | eq0[..., C:]
+        w10 = eq1[..., :C] & ~p0
+        w11 = eq1[..., C:] & ~(p0 | w10)
+        gdup = jnp.concatenate([g, g], axis=-1)
+        zero = jnp.zeros((), g.dtype)
+        d0 = jnp.where(jnp.concatenate([w00, w01], axis=-1), gdup, zero)
+        d1 = jnp.where(jnp.concatenate([w10, w11], axis=-1), gdup, zero)
+        return (assemble(xp.shape, d0, d1).astype(xp.dtype),)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+def _asm_set(shape, d0, d1):
+    return (jnp.zeros(shape, d0.dtype)
+            .at[:, 0::2].set(d0).at[:, 1::2].set(d1))
+
+
+def _asm_stack(shape, d0, d1):
+    b, h, w2, cc = shape
+    return jnp.stack([d0, d1], axis=2).reshape(b, h, w2, cc)
+
+
+pool_packed_v2set = _make_pool_v2(_asm_set)
+pool_packed_v2stack = _make_pool_v2(_asm_stack)
+
+
+# --------------------------- zero-waste 3-conv split of packed conv1_2
+def conv_same_split(x, w2):
+    """Packed same-channel conv as 3 convs with NO structural zeros.
+
+    A: center column, all 4 (phase_in,phase_out) blocks dense
+       [3,1,2C,2C]; B: (col j-1, odd-in)->even-out [3,1,C,C] via left
+       shift (negative padding); C: (col j+1, even-in)->odd-out via
+       right shift. Same real MACs as the standard conv (the embedded
+       [3,3,2C,2C] conv pays 2x).
+    """
+    wa = jnp.zeros((3, 1, 2 * C, 2 * C), w2.dtype)
+    wa = wa.at[:, 0, :C, :C].set(w2[:, 1])
+    wa = wa.at[:, 0, C:, :C].set(w2[:, 2])
+    wa = wa.at[:, 0, :C, C:].set(w2[:, 0])
+    wa = wa.at[:, 0, C:, C:].set(w2[:, 1])
+    a = conv(x, wa, padding=((1, 1), (0, 0)))
+    bpart = conv(x[..., C:], w2[:, 0:1], padding=((1, 1), (1, -1)))
+    cpart = conv(x[..., :C], w2[:, 2:3], padding=((1, 1), (-1, 1)))
+    return a + jnp.concatenate([bpart, cpart], axis=-1)
+
+
 # ---------------------------------------------------------------- stages
 def stage_std(params, img):
     x = conv(img, params["w1"]) + params["b1"]
@@ -281,7 +350,9 @@ def main():
         xx, (2, 2), strides=(2, 2), padding="VALID")
         .astype(jnp.float32)))))(xt)
     for pname, pfn in (("boolchain", pool_packed_bool),
-                       ("keyfirstmax", pool_packed_key)):
+                       ("keyfirstmax", pool_packed_key),
+                       ("v2set", pool_packed_v2set),
+                       ("v2stack", pool_packed_v2stack)):
         gp_ = jax.jit(jax.grad(lambda xx, pf=pfn: jnp.sum(jnp.square(
             pf(xx).astype(jnp.float32)))))(xtp)
         err = float(jnp.max(jnp.abs(
@@ -380,13 +451,13 @@ def main():
 
     # composite variants: which pool formulation wins inside the program
     variants = (
-        ("packed+evensplit", pool_naive),
-        ("packed+keyfirstmax", pool_packed_key),
-        ("packed+boolchain", pool_packed_bool),
-        ("packed+subsample", lambda xp: xp[:, ::2, :, :C]),
-        ("std+subsample", None),
+        ("packed+boolchain", pool_packed_bool, False),
+        ("packed3+boolchain", pool_packed_bool, True),
+        ("packed+subsample", lambda xp: xp[:, ::2, :, :C], False),
+        ("packed3+subsample", lambda xp: xp[:, ::2, :, :C], True),
+        ("std+subsample", None, False),
     )
-    for name, pool in variants:
+    for name, pool, split3 in variants:
         if pool is None:
             def stage(pp, im):
                 x = conv(im, pp["w1"]) + pp["b1"]
@@ -394,17 +465,29 @@ def main():
                 x = conv(x, pp["w2"]) + pp["b2"]
                 return jax.nn.relu(x[:, ::2, ::2, :])
         else:
-            def stage(pp, im, pool=pool):
+            def stage(pp, im, pool=pool, split3=split3):
                 w1p = embed_w1(pp["w1"])
                 x = conv(im, w1p, strides=(1, 2)) \
                     + jnp.concatenate([pp["b1"], pp["b1"]])
                 x = jax.nn.relu(x)
-                x = conv(x, embed_w2(pp["w2"])) \
-                    + jnp.concatenate([pp["b2"], pp["b2"]])
+                if split3:
+                    x = conv_same_split(x, pp["w2"]) \
+                        + jnp.concatenate([pp["b2"], pp["b2"]])
+                else:
+                    x = conv(x, embed_w2(pp["w2"])) \
+                        + jnp.concatenate([pp["b2"], pp["b2"]])
                 return jax.nn.relu(pool(x))
         f = jax.jit(jax.value_and_grad(make_loss(stage)))
         print(f"{name:20s} stage f+b: {bench(f, (p, img))*1e3:7.2f} ms",
               flush=True)
+
+    # numeric check of the 3-conv split (f32)
+    xs32 = jnp.asarray(rng.randn(2, 16, 8, 2 * C), jnp.float32)
+    w232 = jnp.asarray(0.1 * rng.randn(3, 3, C, C), jnp.float32)
+    ya = conv_same_split(xs32, w232)
+    yb = conv(xs32, embed_w2(w232))
+    print(f"3-conv split |err|: {float(jnp.max(jnp.abs(ya - yb))):.3e}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -38,8 +38,10 @@ def main():
 
     batch = 64
     task = resolve_task(2, "transfer", "ours", "VOC")
-    net = build_net(task, 300, dtype=jnp.bfloat16)
+    pack = bool(os.environ.get("CT_PACK_CONV1"))
+    net = build_net(task, 300, dtype=jnp.bfloat16, pack_conv1=pack)
     net = dataclasses.replace(net, use_pallas_ct=True)
+    print(f"pack_conv1={pack}", flush=True)
     priors = prior_boxes(VOC_300)
 
     cfg = SolverConfig(lr=1e-3, steps=(10 ** 6,), warmup_iters=0)
