@@ -37,7 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_bh(h2: int, w2: int, cc: int, budget_bytes: int = 3 << 20) -> int:
     """Largest divisor of H/2 whose block working set fits the budget
-    (xp + dxp blocks [2bh,W2,CC] + y/g blocks [bh,W2,C], bf16)."""
+    (xp + dxp blocks [2bh,W2,CC] + y/g blocks [bh,W2,C], bf16).
+
+    The budget is deliberately ~⅕ of the 16 MB scoped-VMEM limit: Mosaic's
+    stack for the bwd kernel (mask temporaries + f32 compare casts)
+    measured ~4-5× the nominal block bytes — 5 MB here OOM'd scoped vmem
+    at 23.2M on v5e."""
     best = 1
     for d in range(1, h2 + 1):
         if h2 % d:
@@ -66,16 +71,17 @@ def _bwd_kernel(xp_ref, y_ref, g_ref, dxp_ref):
     y = y_ref[0]                                    # [bh, W2, C] (rectified)
     g = g_ref[0]
     zero = jnp.zeros((), g.dtype)
-    # compares run in f32 (exact for bf16 inputs) — Mosaic's VPU has no
-    # bf16 compare on this target ("Target does not support this
-    # comparison")
-    f32 = jnp.float32
-    y32 = y.astype(f32)
-    geff = jnp.where(y32 > 0, g, zero)              # deferred-ReLU backward
-    e0e = xx[:, 0, :, :c].astype(f32) == y32
-    e0o = xx[:, 0, :, c:].astype(f32) == y32
-    e1e = xx[:, 1, :, :c].astype(f32) == y32
-    e1o = xx[:, 1, :, c:].astype(f32) == y32
+    # Compares run in f32 — Mosaic's VPU on v5e supports neither bf16 nor
+    # int16 vector compares ("Target does not support this comparison"),
+    # and bf16 → f32 casts are exact, so the routing is unchanged.
+    cmp = lambda t: t.astype(jnp.float32)
+    yb = cmp(y)
+    geff = jnp.where(yb > 0, g, zero)               # deferred-ReLU backward
+    xb = cmp(xx)
+    e0e = xb[:, 0, :, :c] == yb
+    e0o = xb[:, 0, :, c:] == yb
+    e1e = xb[:, 1, :, :c] == yb
+    e1o = xb[:, 1, :, c:] == yb
     # first-max priority chain, torch row-major window order
     w00 = e0e
     w01 = e0o & ~w00
