@@ -55,18 +55,20 @@ def bench_train(jax, jnp, np, net, priors, task, batch: int = 64,
                 accum_steps: int = 1) -> float:
     """Compiled phase-2 train step (fwd+bwd+SGD+OBJ_Target renorm) img/s.
 
-    Uses the fused flat-vector SGD (build_fused_optimizer) — the per-leaf
-    chain's thousands of small optimizer HLOs were a measured slice of the
-    step's dispatch overhead (docs/ROADMAP.md item 2)."""
+    Uses the per-leaf optax chain (build_optimizer): the r5 on-chip A/B
+    showed it 5.7 ms/step FASTER than the flat-vector fused SGD at batch
+    64 — inside one jit, XLA fuses the per-leaf update ops anyway, and
+    the fused path's ravel/unravel of the 42M-element vector costs ~2.4
+    GB of extra HBM traffic per step (docs/ROADMAP.md r5)."""
     from ct_tpu.data.targets import pad_targets
-    from ct_tpu.train.solver import SolverConfig, build_fused_optimizer
+    from ct_tpu.train.solver import SolverConfig, build_optimizer
     from ct_tpu.train.step import (
         TrainState, init_train_state, make_train_step,
     )
 
     cfg = SolverConfig(lr=1e-3, steps=(10 ** 6,), warmup_iters=0)
     state = init_train_state(net, None, jax.random.PRNGKey(0), size)
-    tx = build_fused_optimizer(state.params, task, cfg)
+    tx = build_optimizer(state.params, task, cfg)
     state = TrainState(state.params, state.batch_stats,
                        tx.init(state.params), state.step)
     step = make_train_step(net, priors, task, tx, accum_steps=accum_steps)
@@ -276,17 +278,18 @@ def main():
         try:
             import dataclasses as _dc
 
-            train_net = _dc.replace(net, fold_bn=False)
+            # lane-packed conv1 stage + fused Pallas pool (r5): training
+            # only — the serving path keeps its own int8 pipeline
+            train_net = _dc.replace(net, fold_bn=False, pack_conv1=on_tpu)
             train_ips = bench_train(jax, jnp, np, train_net, priors, task)
-            log(f"train: {train_ips:.1f} images/sec/chip (fwd+bwd+fused "
-                f"SGD, batch 64)")
+            log(f"train: {train_ips:.1f} images/sec/chip (fwd+bwd+SGD, "
+                f"batch 64)")
             # batch-128 line (VERDICT r4 #2): larger per-chip batch
-            # amortizes the fixed per-op overheads — 497.2 img/s on v5e
-            # (2026-08-20) vs 428.2 at batch 64
+            # amortizes the fixed per-op overheads
             train_ips128 = bench_train(jax, jnp, np, train_net, priors,
                                        task, batch=128)
             log(f"train: {train_ips128:.1f} images/sec/chip (fwd+bwd+"
-                f"fused SGD, batch 128)")
+                f"SGD, batch 128)")
         except Exception as e:  # pragma: no cover - defensive
             log(f"train bench failed: {e!r}")
 
@@ -303,7 +306,8 @@ def main():
             if on_tpu:
                 net512 = _dc.replace(net512, use_pallas_ct=True)
             priors512 = prior_boxes(get_config("VOC", 512))
-            ips512 = bench_train(jax, jnp, np, net512, priors512, task,
+            net512t = _dc.replace(net512, pack_conv1=on_tpu)
+            ips512 = bench_train(jax, jnp, np, net512t, priors512, task,
                                  batch=64, size=512, accum_steps=4)
             log(f"train 512: {ips512:.1f} images/sec/chip (effective "
                 f"batch 64, accum 4)")

@@ -628,7 +628,8 @@ def _fit_block_q_flash(block_q: int, kk: int) -> int:
 
 
 def _bwd_call_cm_flash(q_cm, k_cm, v_cm, wz, g_cm, delta_cm, m, z,
-                       block_q: int = 1024, interpret: bool = False):
+                       block_q: int = 1024, interpret: bool = False,
+                       block_k: int = 0):
     """Flash class-major backward core → (dq_cm, dk_cm, dv_cm, dwz).
 
     dwz and the softmax-Jacobian colsum come from the saved delta in one
@@ -637,7 +638,18 @@ def _bwd_call_cm_flash(q_cm, k_cm, v_cm, wz, g_cm, delta_cm, m, z,
     b, c, p = q_cm.shape
     kk = k_cm.shape[2]
     block_q = _fit_block_q_flash(block_q, kk)
-    block_k = min(640, ((kk + 127) // 128) * 128)
+    # Small K (300-res K=1858): one chunk beats 640-chunking by ~5% on
+    # v5e (11.34 vs 11.82 ms standalone, scripts/bench_ct_bwd_blocks.py)
+    # — the fori_loop collapses and Mosaic schedules one straight-line
+    # body. Large K (512-res K=4964) must chunk: the [Kc, bq] f32
+    # intermediates at Kc=K would need ~20 MB of scoped VMEM.
+    kp128 = ((kk + 127) // 128) * 128
+    block_k = block_k or (kp128 if kp128 <= 1920 else 640)
+    if block_k == kp128 and block_q > 768:
+        # single-chunk at bq 1024 measured scoped-vmem 16.11M — 112K OVER
+        # the 16M limit in some surrounding-program contexts (it compiled
+        # in others); bq 768 buys ~2 MB of headroom and times the same
+        block_q = 768
     kpad = ((kk + block_k - 1) // block_k) * block_k
     if kpad != kk:
         pad = [(0, 0), (0, 0), (0, kpad - kk)]

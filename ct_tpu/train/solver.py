@@ -107,10 +107,13 @@ def build_fused_optimizer(
 ) -> optax.GradientTransformation:
     """``build_optimizer`` semantics over ONE flat parameter vector.
 
-    The per-leaf optax chain emits ~8 HLO ops per parameter leaf (~300
-    leaves → thousands of small ops whose dispatch dominates the update on
-    TPU). Here the whole SGD update is five fused vector ops over the
-    raveled [N] parameter vector:
+    NOTE (r5 A/B on v5e): inside one jitted train step the PER-LEAF chain
+    is ~5.7 ms/step FASTER at batch 64 — XLA fuses the per-leaf update
+    ops anyway, and this path's ravel_pytree of params+grads plus the
+    unravel of the update adds ~2.4 GB of HBM traffic per step on the
+    42M-param model. Production now defaults to ``build_optimizer``
+    (train.py --fused-opt off); this variant remains for the multi-small-
+    leaf regimes where per-leaf dispatch dominates. The update math:
 
         g ← g + wd·p ;  m ← μ·m + g ;  p ← p − lr(t)·mult ⊙ m
 

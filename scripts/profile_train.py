@@ -31,7 +31,7 @@ def main():
     from ct_tpu.data.targets import pad_targets
     from ct_tpu.models import build_net
     from ct_tpu.ops.priors import prior_boxes
-    from ct_tpu.train.solver import SolverConfig, build_fused_optimizer
+    from ct_tpu.train.solver import SolverConfig, build_optimizer
     from ct_tpu.train.step import (
         TrainState, init_train_state, make_train_step,
     )
@@ -46,7 +46,7 @@ def main():
 
     cfg = SolverConfig(lr=1e-3, steps=(10 ** 6,), warmup_iters=0)
     state = init_train_state(net, None, jax.random.PRNGKey(0), 300)
-    tx = build_fused_optimizer(state.params, task, cfg)
+    tx = build_optimizer(state.params, task, cfg)
     state = TrainState(state.params, state.batch_stats,
                        tx.init(state.params), state.step)
     step = make_train_step(net, priors, task, tx)

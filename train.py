@@ -92,9 +92,12 @@ def parse_args(argv=None):
                              "mixup on this path)")
     parser.add_argument("--canvas", type=int, default=384,
                         help="Working-canvas size for --device-augment")
-    parser.add_argument("--fused-opt", choices=["on", "off"], default="on",
+    parser.add_argument("--fused-opt", choices=["on", "off"], default="off",
                         help="Flat-vector fused SGD update (bit-identical "
-                             "math, ~8x fewer optimizer HLO ops)")
+                             "math). Default off: on v5e the per-leaf "
+                             "chain is ~5.7 ms/step FASTER at batch 64 — "
+                             "the ravel/unravel passes cost more than the "
+                             "per-leaf HLOs (r5 A/B, docs/ROADMAP.md)")
     parser.add_argument("--accum-steps", type=int, default=1,
                         help="Gradient accumulation micro-batches per step "
                              "(512-model training at effective batch 64 "
@@ -185,15 +188,22 @@ def main(argv=None):
 
     # --- model / mesh / optimizer ----------------------------------------
     dtype = jnp.bfloat16 if args.bf16 else None
-    net = build_net(task, img_dim, dtype=dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = args.pallas_ct == "on" or (
-        args.pallas_ct == "auto" and jax.devices()[0].platform == "tpu"
+        args.pallas_ct == "auto" and on_tpu
     )
-    if use_pallas and task.has_ct_head:
+    # lane-packed conv1 stage (training-only, r5): rides the same Pallas
+    # gate — its fused pool kernel is TPU-only; the XLA fallback is exact
+    # but slower than the standard stage on CPU
+    net = build_net(task, img_dim, dtype=dtype, pack_conv1=use_pallas)
+    if use_pallas:
         import dataclasses
 
+        # use_pallas_ct gates BOTH the fused CT attention (phase 2) and
+        # the packed-stage pool kernel (all phases)
         net = dataclasses.replace(net, use_pallas_ct=True)
-        logger.info("Using fused Pallas CT attention")
+        if task.has_ct_head:
+            logger.info("Using fused Pallas CT attention")
     mesh = make_mesh(args.ndev or None)
     logger.info("Mesh: %s", mesh)
 
